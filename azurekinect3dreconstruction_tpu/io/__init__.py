@@ -1,0 +1,25 @@
+from azurekinect3dreconstruction_tpu.io.replay import (
+    FrameRecorder,
+    FrameSource,
+    NpzReplaySource,
+    SyntheticSource,
+)
+from azurekinect3dreconstruction_tpu.io.synthetic import (
+    Plane,
+    Scene,
+    Sphere,
+    SyntheticCamera,
+    orbit_trajectory,
+)
+
+__all__ = [
+    "FrameRecorder",
+    "FrameSource",
+    "NpzReplaySource",
+    "Plane",
+    "Scene",
+    "Sphere",
+    "SyntheticCamera",
+    "SyntheticSource",
+    "orbit_trajectory",
+]
