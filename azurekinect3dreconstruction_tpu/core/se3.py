@@ -18,6 +18,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# All matmuls in this module are 3x3/4x4: force full f32 MXU precision (the
+# TPU default is bf16 inputs — a ~1e-3 relative error that would corrupt pose
+# chains). These contractions are trivially small; HIGHEST costs nothing.
+_PP = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PP)
+
 # Open3D-style display flip (reference CreateMesh.py:597: pcd.transform(flip)).
 FLIP_TRANSFORM = np.array(
     [[1.0, 0, 0, 0], [0, -1.0, 0, 0], [0, 0, -1.0, 0], [0, 0, 0, 1.0]]
@@ -49,18 +58,20 @@ def so3_exp(w):
         theta2 > 1e-12, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-32), 0.5 - theta2 / 24.0
     )
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye + a * W + b * (W @ W)
+    return eye + a * W + b * _mm(W, W)
 
 
 def so3_log(R):
     """Rotation matrix -> axis-angle 3-vector (principal branch)."""
     R = jnp.asarray(R)
-    tr = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(tr)
-    # vee of the antisymmetric part
+    cos_t = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    # vee of the antisymmetric part; |v| = 2 sin(theta)
     v = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
-    sin_t = jnp.sin(theta)
-    scale = jnp.where(jnp.abs(sin_t) > 1e-6, theta / (2.0 * sin_t + 1e-32), 0.5 + theta * theta / 12.0)
+    # atan2(sin, cos) stays well-conditioned at small angles, where
+    # arccos(trace) would round theta^2 out of the f32 trace entirely.
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(v * v) + 1e-38)
+    theta = jnp.arctan2(sin_t, cos_t)
+    scale = jnp.where(sin_t > 1e-6, theta / (2.0 * sin_t + 1e-32), 0.5 + theta * theta / 12.0)
     w_generic = scale * v
     # Near theta == pi the vee part vanishes; recover axis from diagonal.
     axis2 = jnp.clip((jnp.diagonal(R) + 1.0) * 0.5, 0.0, 1.0)
@@ -97,8 +108,8 @@ def se3_exp(xi):
         (theta - jnp.sin(theta)) / jnp.maximum(theta2 * theta, 1e-32),
         1.0 / 6.0 - theta2 / 120.0,
     )
-    V = jnp.eye(3, dtype=xi.dtype) + b * W + c * (W @ W)
-    t = V @ v
+    V = jnp.eye(3, dtype=xi.dtype) + b * W + c * _mm(W, W)
+    t = _mm(V, v)
     T = jnp.eye(4, dtype=xi.dtype)
     T = T.at[:3, :3].set(R)
     T = T.at[:3, 3].set(t)
@@ -120,8 +131,8 @@ def se3_log(T):
         (1.0 - A / jnp.maximum(2.0 * B, 1e-32)) / jnp.maximum(theta2, 1e-32),
         1.0 / 12.0 + theta2 / 720.0,
     )
-    Vinv = jnp.eye(3, dtype=T.dtype) - 0.5 * W + coef * (W @ W)
-    v = Vinv @ T[:3, 3]
+    Vinv = jnp.eye(3, dtype=T.dtype) - 0.5 * W + coef * _mm(W, W)
+    v = _mm(Vinv, T[:3, 3])
     return jnp.concatenate([v, w])
 
 
@@ -129,7 +140,7 @@ def inverse(T):
     """Rigid inverse: [R t]^-1 = [R^T, -R^T t]."""
     T = jnp.asarray(T)
     Rt = T[:3, :3].T
-    t = -Rt @ T[:3, 3]
+    t = -_mm(Rt, T[:3, 3])
     out = jnp.eye(4, dtype=T.dtype)
     out = out.at[:3, :3].set(Rt)
     out = out.at[:3, 3].set(t)
@@ -137,15 +148,25 @@ def inverse(T):
 
 
 def transform_points(T, pts):
-    """Apply 4x4 to (..., 3) points."""
+    """Apply 4x4 to (..., 3) points.
+
+    Full-f32 matmul precision: on TPU the MXU defaults to bf16 inputs, whose
+    ~3 significant digits would inject millimeter-scale error at room range —
+    on par with the 5 mm voxels we fuse into. These K=3 contractions are
+    bandwidth-bound anyway, so HIGHEST costs nothing.
+    """
     T = jnp.asarray(T)
     pts = jnp.asarray(pts)
-    return pts @ T[:3, :3].T + T[:3, 3]
+    return (
+        jnp.matmul(pts, T[:3, :3].T, precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
+    )
 
 
 def rotate_vectors(T, vecs):
     """Apply only the rotation of a 4x4 (for normals/directions)."""
-    return jnp.asarray(vecs) @ jnp.asarray(T)[:3, :3].T
+    return jnp.matmul(
+        jnp.asarray(vecs), jnp.asarray(T)[:3, :3].T, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def rpy_from_matrix(R):

@@ -3,10 +3,18 @@ are exercised without TPU hardware. Must run before the first jax import."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# The image's sitecustomize force-registers the axon TPU plugin and rewrites
+# jax_platforms to "axon,cpu" in every process, so the env var alone is not
+# enough — override the config again before any backend initializes.
+if not os.environ.get("RUN_TESTS_ON_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
