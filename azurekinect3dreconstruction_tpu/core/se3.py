@@ -53,9 +53,9 @@ def so3_exp(w):
     theta = jnp.sqrt(theta2 + 1e-32)
     W = hat(w)
     # sin(t)/t and (1-cos(t))/t^2 with series fallbacks near zero.
-    a = jnp.where(theta2 > 1e-12, jnp.sin(theta) / theta, 1.0 - theta2 / 6.0)
+    a = jnp.where(theta2 > 1e-6, jnp.sin(theta) / theta, 1.0 - theta2 / 6.0)
     b = jnp.where(
-        theta2 > 1e-12, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-32), 0.5 - theta2 / 24.0
+        theta2 > 1e-6, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-32), 0.5 - theta2 / 24.0
     )
     eye = jnp.eye(3, dtype=w.dtype)
     return eye + a * W + b * _mm(W, W)
@@ -101,10 +101,10 @@ def se3_exp(xi):
     W = hat(w)
     R = so3_exp(w)
     b = jnp.where(
-        theta2 > 1e-12, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-32), 0.5 - theta2 / 24.0
+        theta2 > 1e-6, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-32), 0.5 - theta2 / 24.0
     )
     c = jnp.where(
-        theta2 > 1e-12,
+        theta2 > 1e-6,
         (theta - jnp.sin(theta)) / jnp.maximum(theta2 * theta, 1e-32),
         1.0 / 6.0 - theta2 / 120.0,
     )
@@ -127,7 +127,7 @@ def se3_log(T):
     A = jnp.sin(theta) / jnp.maximum(theta, 1e-32)
     B = (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-32)
     coef = jnp.where(
-        theta2 > 1e-12,
+        theta2 > 1e-6,
         (1.0 - A / jnp.maximum(2.0 * B, 1e-32)) / jnp.maximum(theta2, 1e-32),
         1.0 / 12.0 + theta2 / 720.0,
     )
