@@ -1,0 +1,171 @@
+"""Vectorized spatial hash for voxel-block coordinates (pure XLA).
+
+TPU-native replacement for the pointer-based spatial hashing inside Open3D's
+``ScalableTSDFVolume`` (reference CreateMesh.py:300-336 and
+CodeThatWorks/1camera-detectsSceneChanges.py:78-82 allocate it; the C++ side
+grows a std::unordered_map of 16^3 blocks). XLA has no pointers and no
+dynamic allocation, so the table here is a fixed-capacity open-addressing
+array and *insertion happens in data-parallel rounds*:
+
+round r:  h = probe(key, r)
+          - key already at table[h]            -> resolved
+          - table[h] empty: scatter-claim; the winner of colliding scatters
+            re-reads its own key back          -> resolved (new slot)
+          - lost the claim or slot taken       -> continue to round r+1
+
+Duplicate keys from different lanes win *together* (they read back the same
+key), so deduplication is free. Each resolved new slot gets a block index
+from a prefix-sum over the per-slot "newly claimed" mask — a deterministic,
+collision-free allocation without atomics. Everything is fixed-shape
+gather/scatter/cumsum, which is exactly what the TPU memory system wants.
+
+Block coordinates live in [-512, 512)^3 (covers ±41 m at 8 cm blocks) and
+pack into one non-negative int32; EMPTY = -1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+EMPTY_KEY = jnp.int32(-1)
+#: lookup miss marker in value arrays
+MISS = jnp.int32(-1)
+
+_COORD_BITS = 10
+_COORD_OFFSET = 1 << (_COORD_BITS - 1)  # 512
+_COORD_MASK = (1 << _COORD_BITS) - 1
+
+
+def pack_key(coords):
+    """(..., 3) int32 block coords -> (...,) packed non-negative int32."""
+    c = jnp.asarray(coords, jnp.int32) + _COORD_OFFSET
+    return (c[..., 0] | (c[..., 1] << _COORD_BITS) | (c[..., 2] << (2 * _COORD_BITS)))
+
+
+def unpack_key(keys):
+    """Packed int32 -> (..., 3) block coords (EMPTY maps to garbage; mask it)."""
+    k = jnp.asarray(keys, jnp.int32)
+    x = (k & _COORD_MASK) - _COORD_OFFSET
+    y = ((k >> _COORD_BITS) & _COORD_MASK) - _COORD_OFFSET
+    z = ((k >> (2 * _COORD_BITS)) & _COORD_MASK) - _COORD_OFFSET
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def _mix(k):
+    """Finalizer-style integer hash (fmix32) on int32 lanes."""
+    h = jnp.asarray(k, jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _probe_slot(keys, r, capacity):
+    """Slot for probe round r: linear probing from the mixed hash."""
+    return ((_mix(keys) + jnp.uint32(r)) & jnp.uint32(capacity - 1)).astype(jnp.int32)
+
+
+class HashTable(NamedTuple):
+    """Open-addressing table: keys[capacity] (EMPTY_KEY = free) and
+    vals[capacity] (block slot index)."""
+
+    keys: jax.Array  # int32[C]
+    vals: jax.Array  # int32[C]
+
+    @staticmethod
+    def empty(capacity: int) -> "HashTable":
+        return HashTable(
+            keys=jnp.full((capacity,), EMPTY_KEY, jnp.int32),
+            vals=jnp.full((capacity,), MISS, jnp.int32),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+
+@partial(jax.jit, static_argnames=("max_probes",))
+def lookup(table: HashTable, query_keys, max_probes: int = 16):
+    """Batch lookup. Returns int32 vals (MISS where absent). Fixed-shape:
+    always runs ``max_probes`` gather rounds (they are cheap and pipelined)."""
+    q = jnp.asarray(query_keys, jnp.int32)
+    cap = table.capacity
+    found = jnp.full(q.shape, MISS, jnp.int32)
+    done = q == EMPTY_KEY  # empty queries resolve to MISS immediately
+
+    def body(r, carry):
+        found, done = carry
+        slots = _probe_slot(q, r, cap)
+        k_at = table.keys[slots]
+        hit = (k_at == q) & ~done
+        found = jnp.where(hit, table.vals[slots], found)
+        # an EMPTY slot on the probe chain proves absence -> stop probing
+        done = done | hit | (k_at == EMPTY_KEY)
+        return found, done
+
+    found, _ = jax.lax.fori_loop(0, max_probes, body, (found, done))
+    return found
+
+
+@partial(jax.jit, static_argnames=("max_probes",))
+def insert(table: HashTable, counter, new_keys, capacity_limit, max_probes: int = 16
+           ) -> Tuple[HashTable, jax.Array, jax.Array, jax.Array]:
+    """Batch insert-or-get. Returns (table, counter, vals, overflowed).
+
+    - ``counter``: scalar int32, number of allocated block slots so far.
+    - ``vals``: per-query block slot (existing or newly allocated; MISS only
+      if unresolved after max_probes or the pool is full).
+    - ``overflowed``: scalar bool — capacity_limit was hit this call.
+
+    Lanes with ``new_keys == EMPTY_KEY`` are inert (use as padding).
+    """
+    q = jnp.asarray(new_keys, jnp.int32)
+    cap = table.capacity
+    vals = jnp.full(q.shape, MISS, jnp.int32)
+    pending = q != EMPTY_KEY
+
+    def round_body(r, carry):
+        keys_arr, vals_arr, counter, out_vals, pending = carry
+        slots = _probe_slot(q, r, cap)
+        k_at = keys_arr[slots]
+
+        # 1) already present
+        hit = pending & (k_at == q)
+        out_vals = jnp.where(hit, vals_arr[slots], out_vals)
+        pending = pending & ~hit
+
+        # 2) scatter-claim empty slots (losers keep probing next round)
+        want = pending & (k_at == EMPTY_KEY)
+        claim_slots = jnp.where(want, slots, cap)  # cap = out-of-bounds -> dropped
+        old_keys = keys_arr
+        keys_arr = keys_arr.at[claim_slots].set(q, mode="drop")
+        newly = (old_keys == EMPTY_KEY) & (keys_arr != EMPTY_KEY)
+
+        # 3) allocate block indices for freshly claimed slots via prefix sum
+        order = jnp.cumsum(newly.astype(jnp.int32)) - 1
+        alloc = counter + order
+        ok = newly & (alloc < capacity_limit)
+        # full pool: roll back the claim so the slot stays reusable
+        keys_arr = jnp.where(newly & ~ok, old_keys, keys_arr)
+        vals_arr = jnp.where(ok, alloc, vals_arr)
+        counter = jnp.minimum(counter + jnp.sum(newly.astype(jnp.int32)), capacity_limit)
+
+        # 4) winners read their value back
+        won = pending & (keys_arr[slots] == q)
+        got = vals_arr[slots]
+        resolved = won & (got != MISS)
+        out_vals = jnp.where(resolved, got, out_vals)
+        pending = pending & ~resolved
+        return keys_arr, vals_arr, counter, out_vals, pending
+
+    keys_arr, vals_arr, counter, vals, pending = jax.lax.fori_loop(
+        0, max_probes, round_body, (table.keys, table.vals, counter, vals, pending)
+    )
+    overflowed = counter >= capacity_limit
+    return HashTable(keys_arr, vals_arr), counter, vals, overflowed
