@@ -1,0 +1,154 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from azurekinect3dreconstruction_tpu.config import TSDFConfig
+from azurekinect3dreconstruction_tpu.core.camera import Intrinsics, pixel_rays
+from azurekinect3dreconstruction_tpu.io.synthetic import Scene, Sphere, SyntheticCamera, orbit_trajectory
+from azurekinect3dreconstruction_tpu.tsdf import hash as vhash
+from azurekinect3dreconstruction_tpu.tsdf import marching_cubes as mc
+from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf
+from test_mc_tables import numpy_marching_cubes
+
+
+CFG = TSDFConfig(
+    voxel_size=0.02,
+    sdf_trunc=0.08,
+    block_resolution=8,
+    block_capacity=512,
+    hash_capacity=2048,
+)
+
+
+def build_volume_from_field(field, cfg):
+    """Fill a TSDFVolume from a dense field sampled at voxel centers of the
+    grid [0..nx) x [0..ny) x [0..nz) (block-aligned)."""
+    R = cfg.block_resolution
+    nx, ny, nz = field.shape
+    assert nx % R == ny % R == nz % R == 0
+    bx, by, bz = nx // R, ny // R, nz // R
+    vol = tsdf.create(cfg)
+    coords = np.stack(np.meshgrid(np.arange(bx), np.arange(by), np.arange(bz),
+                                  indexing="ij"), -1).reshape(-1, 3).astype(np.int32)
+    keys = vhash.pack_key(jnp.asarray(coords))
+    table, counter, vals, ovf = vhash.insert(
+        vol.table, vol.n_blocks, keys, jnp.int32(cfg.block_capacity)
+    )
+    assert not bool(ovf)
+    vals_np = np.asarray(vals)
+    n = coords.shape[0]
+    tsdf_arr = np.asarray(vol.tsdf).copy()
+    w_arr = np.asarray(vol.weight).copy()
+    col_arr = np.asarray(vol.color).copy()
+    bc = np.asarray(vol.block_coords).copy()
+    for i in range(n):
+        cx, cy, cz = coords[i] * R
+        blockvals = field[cx : cx + R, cy : cy + R, cz : cz + R].reshape(-1)
+        tsdf_arr[vals_np[i]] = blockvals
+        w_arr[vals_np[i]] = 1.0
+        col_arr[vals_np[i]] = 0.5
+        bc[vals_np[i]] = coords[i]
+    return vol._replace(
+        table_keys=table.keys, table_vals=table.vals, n_blocks=counter,
+        block_coords=jnp.asarray(bc), tsdf=jnp.asarray(tsdf_arr),
+        weight=jnp.asarray(w_arr), color=jnp.asarray(col_arr),
+    )
+
+
+def test_extraction_matches_dense_numpy_mc():
+    """Device block-wise MC must produce exactly the dense-grid numpy MC
+    triangles (same tables, same interpolation, cross-block cells included)."""
+    R = CFG.block_resolution
+    n = 4 * R  # 32^3 voxels = 4^3 blocks
+    g = (np.arange(n) + 0.5) * CFG.voxel_size
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    c = n * CFG.voxel_size / 2
+    field = (np.sqrt((X - c) ** 2 + (Y - c) ** 2 + (Z - c) ** 2) - 0.22) / CFG.sdf_trunc
+    field = np.clip(field, -1, 1).astype(np.float32)
+
+    vol = build_volume_from_field(field, CFG)
+    mesh = mc.extract_mesh(vol, CFG, max_cells=16384, max_tris=32768)
+    nt = int(mesh.num_triangles)
+    assert nt > 100
+    got = np.asarray(mesh.vertices)[: 3 * nt].reshape(nt, 3, 3)
+
+    ref = numpy_marching_cubes(field, origin=0.5 * CFG.voxel_size, spacing=CFG.voxel_size)
+    assert nt == len(ref)
+
+    def canon(tris):
+        v = np.round(tris.reshape(-1, 3), 6)
+        return v[np.lexsort(v.T)]
+
+    np.testing.assert_allclose(canon(got), canon(ref), atol=1e-5)
+
+
+def test_extracted_sphere_rmse_under_one_voxel():
+    scene = Scene(spheres=(Sphere((0.0, 0.0, 1.2), 0.3, (0.9, 0.2, 0.1)),))
+    intr = Intrinsics.azure_kinect_depth_nfov().scaled(0.25)
+    cam = SyntheticCamera(scene=scene, intrinsics=intr)
+    rays = pixel_rays(intr)
+    vol = tsdf.create(TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, block_resolution=8,
+                                 block_capacity=2048, hash_capacity=8192))
+    cfg = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, block_resolution=8,
+                     block_capacity=2048, hash_capacity=8192)
+    for T in orbit_trajectory(7, radius=0.35, center=(0.0, 0.0, 1.2), angle_span=1.5):
+        z, col = cam.render(np.asarray(T, np.float32))
+        vol = tsdf.integrate_frame(vol, z, col, rays, np.asarray(T, np.float32), intr, cfg)
+    mesh = mc.extract_mesh(vol, cfg, max_cells=65536, max_tris=131072)
+    nt = int(mesh.num_triangles)
+    assert nt > 1000
+    v = np.asarray(mesh.vertices)[: 3 * nt]
+    d = np.linalg.norm(v - np.array([0.0, 0.0, 1.2]), axis=1) - 0.3
+    rmse = float(np.sqrt((d**2).mean()))
+    assert rmse < cfg.voxel_size, f"mesh RMSE {rmse} >= 1 voxel"
+    # colors sampled from the render must stay in range and be reddish
+    cols = np.asarray(mesh.vertex_colors)[: 3 * nt]
+    assert cols.min() >= 0.0 and cols.max() <= 1.0
+    assert cols[:, 0].mean() > cols[:, 2].mean()
+
+
+def test_overflow_flag_and_autogrow():
+    R = CFG.block_resolution
+    n = 2 * R
+    g = (np.arange(n) + 0.5) * CFG.voxel_size
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    c = n * CFG.voxel_size / 2
+    field = np.clip(
+        (np.sqrt((X - c) ** 2 + (Y - c) ** 2 + (Z - c) ** 2) - 0.1) / CFG.sdf_trunc, -1, 1
+    ).astype(np.float32)
+    vol = build_volume_from_field(field, CFG)
+    # tiny budget must overflow...
+    _, _, nt, ovf = mc.extract_mesh_arrays(vol, CFG, max_cells=64, max_tris=64)
+    assert bool(ovf)
+    # ...and auto_grow must recover the full mesh
+    mesh = mc.extract_mesh(vol, CFG, max_cells=64, max_tris=64, auto_grow=True)
+    ref = numpy_marching_cubes(field, origin=0.5 * CFG.voxel_size, spacing=CFG.voxel_size)
+    assert int(mesh.num_triangles) == len(ref)
+
+
+def test_weld_vertices_preserves_geometry():
+    R = CFG.block_resolution
+    n = 2 * R
+    g = (np.arange(n) + 0.5) * CFG.voxel_size
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    c = n * CFG.voxel_size / 2
+    field = np.clip(
+        (np.sqrt((X - c) ** 2 + (Y - c) ** 2 + (Z - c) ** 2) - 0.1) / CFG.sdf_trunc, -1, 1
+    ).astype(np.float32)
+    vol = build_volume_from_field(field, CFG)
+    mesh = mc.extract_mesh(vol, CFG, max_cells=16384, max_tris=32768).compact()
+    welded = mc.weld_vertices(mesh)
+    assert welded.vertices.shape[0] < mesh.vertices.shape[0]
+    # triangle geometry identical
+    np.testing.assert_allclose(
+        np.sort(welded.vertices[welded.triangles].reshape(-1, 3), axis=0),
+        np.sort(mesh.vertices[mesh.triangles].reshape(-1, 3), axis=0),
+        atol=1e-5,
+    )
+    # welded soup must be closed (full sphere inside the grid)
+    edges = np.concatenate([
+        welded.triangles[:, [0, 1]], welded.triangles[:, [1, 2]], welded.triangles[:, [2, 0]]
+    ])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts % 2 == 0).all()
