@@ -178,7 +178,7 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     cslot = nbr[b[:, None], code]
     cslot = jnp.where(cslot >= 0, cslot, 0)
     clin = (gi % R) * R * R + (gj % R) * R + (gk % R)
-    cols = vol.color[cslot, clin]  # (M, 8, 3)
+    cols = vol.color[cslot, :, clin]  # channel-major pool -> (M, 8, 3)
 
     mcase = jnp.zeros(b.shape, jnp.int32)
     for k in range(8):

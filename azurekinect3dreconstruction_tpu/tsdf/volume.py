@@ -53,7 +53,7 @@ class TSDFVolume(NamedTuple):
     block_coords: jax.Array  # int32[capacity, 3] grid coords of each block
     tsdf: jax.Array  # f32[capacity, R^3] normalized signed distance in [-1, 1]
     weight: jax.Array  # f32[capacity, R^3]
-    color: jax.Array  # f32[capacity, R^3, 3]
+    color: jax.Array  # f32[capacity, 3, R^3] (channel-major: lane dim = voxels)
     overflow: jax.Array  # bool[] sticky pool-exhausted flag
 
     @property
@@ -75,7 +75,7 @@ def create(cfg: TSDFConfig) -> TSDFVolume:
         block_coords=jnp.zeros((n, 3), jnp.int32),
         tsdf=jnp.zeros((n, r3), jnp.float32),
         weight=jnp.zeros((n, r3), jnp.float32),
-        color=jnp.zeros((n, r3, 3), jnp.float32),
+        color=jnp.zeros((n, 3, r3), jnp.float32),
         overflow=jnp.zeros((), jnp.bool_),
     )
 
@@ -112,8 +112,9 @@ def allocate(vol: TSDFVolume, depth, rays, T_world_cam, cfg: TSDFConfig,
     keys = vhash.pack_key(coords)
     keys = jnp.where(jnp.tile(valid.reshape(-1), samples), keys, vhash.EMPTY_KEY)
 
+    # the last pool row is reserved as the Pallas worklist's trash slot
     table, counter, vals, overflowed = vhash.insert(
-        vol.table, vol.n_blocks, keys, jnp.int32(cfg.block_capacity)
+        vol.table, vol.n_blocks, keys, jnp.int32(cfg.block_capacity - 1)
     )
     # record coords of (possibly fresh) slots; duplicates write equal values
     idx = jnp.where(vals >= 0, vals, cfg.block_capacity)  # MISS -> dropped
@@ -180,16 +181,28 @@ def integrate(vol: TSDFVolume, depth, color, T_world_cam, intr: Intrinsics,
     tsdf_new = jnp.where(upd, (vol.tsdf * w_old + tsdf_obs) * inv, vol.tsdf)
 
     c = jnp.asarray(color)[vic, uic]  # (N, V, 3)
-    col_new = jnp.where(upd[..., None], (vol.color * w_old[..., None] + c) * inv[..., None],
+    c = jnp.swapaxes(c, 1, 2)  # -> (N, 3, V) to match the channel-major pool
+    col_new = jnp.where(upd[:, None, :], (vol.color * w_old[:, None, :] + c) * inv[:, None, :],
                         vol.color)
     return vol._replace(tsdf=tsdf_new, weight=w_new, color=col_new)
 
 
 def integrate_frame(vol: TSDFVolume, depth, color, rays, T_world_cam,
                     intr: Intrinsics, cfg: TSDFConfig,
-                    stride: int = 2) -> TSDFVolume:
-    """allocate + integrate in one call (the per-frame hot path)."""
+                    stride: int = 2, backend: str = "auto") -> TSDFVolume:
+    """allocate + integrate in one call (the per-frame hot path).
+
+    backend: "pallas" (worklist kernel — the fast path on TPU), "xla"
+    (reference jnp implementation), or "auto" (pallas on TPU, xla elsewhere).
+    """
     vol = allocate(vol, depth, rays, T_world_cam, cfg, stride=stride)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from azurekinect3dreconstruction_tpu.ops.pallas.tsdf_kernels import (
+            integrate_worklist,
+        )
+        return integrate_worklist(vol, depth, color, T_world_cam, intr, cfg)
     return integrate(vol, depth, color, T_world_cam, intr, cfg)
 
 
@@ -229,7 +242,7 @@ def extract_point_cloud(vol: TSDFVolume, cfg: TSDFConfig, max_points: Optional[i
     R = cfg.block_resolution
     tsdf = onp.asarray(vol.tsdf[:n]).reshape(n, R, R, R)
     weight = onp.asarray(vol.weight[:n]).reshape(n, R, R, R)
-    color = onp.asarray(vol.color[:n]).reshape(n, R, R, R, 3)
+    color = onp.asarray(vol.color[:n]).transpose(0, 2, 1).reshape(n, R, R, R, 3)
     coords = onp.asarray(vol.block_coords[:n])
 
     pts_out = []

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark: 640x576 NFOV depth frames fused into a 5 mm TSDF on one
+TPU chip (BASELINE.md target: >30 fps/camera; reference never measured its own
+CPU ScalableTSDFVolume, which re-extracts per frame — see SURVEY.md §6).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from azurekinect3dreconstruction_tpu.config import TSDFConfig
+    from azurekinect3dreconstruction_tpu.core.camera import Intrinsics, pixel_rays
+    from azurekinect3dreconstruction_tpu.io.synthetic import SyntheticCamera, orbit_trajectory
+    from azurekinect3dreconstruction_tpu.tsdf import marching_cubes as mc
+    from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf
+
+    cfg = TSDFConfig(
+        voxel_size=0.005,
+        sdf_trunc=0.02,
+        block_resolution=16,
+        block_capacity=16384,
+        hash_capacity=65536,
+    )
+    intr = Intrinsics.azure_kinect_depth_nfov()  # 640x576 NFOV
+    cam = SyntheticCamera(intrinsics=intr)
+    rays = pixel_rays(intr)
+
+    n_traj = 16
+    poses = orbit_trajectory(n_traj, radius=0.35, angle_span=1.0)
+    frames = []
+    for T in poses:
+        z, c = cam.render(np.asarray(T, np.float32))
+        frames.append((jnp.asarray(z), jnp.asarray(c), jnp.asarray(T, jnp.float32)))
+
+    vol = tsdf.create(cfg)
+
+    def step(vol, depth, color, T):
+        return tsdf.integrate_frame(vol, depth, color, rays, T, intr, cfg, stride=2)
+
+    # warmup / compile
+    vol = step(vol, *frames[0])
+    jax.block_until_ready(vol.tsdf)
+
+    n_iters = 60
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        vol = step(vol, *frames[i % n_traj])
+    jax.block_until_ready(vol.tsdf)
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    # marching-cubes extraction timing (the reference re-extracts per frame)
+    mesh = mc.extract_mesh(vol, cfg, max_cells=262144, max_tris=524288)
+    jax.block_until_ready(mesh.vertices)
+    t0 = time.perf_counter()
+    n_ext = 5
+    for _ in range(n_ext):
+        mesh = mc.extract_mesh(vol, cfg, max_cells=262144, max_tris=524288, auto_grow=False)
+        jax.block_until_ready(mesh.vertices)
+    extract_ms = (time.perf_counter() - t0) / n_ext * 1000.0
+
+    print(json.dumps({
+        "metric": "depth_fps_into_5mm_tsdf_640x576",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 3),
+        "extract_ms": round(extract_ms, 2),
+        "mesh_triangles": int(mesh.num_triangles),
+        "n_blocks": int(vol.n_blocks),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
