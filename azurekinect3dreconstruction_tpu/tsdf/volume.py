@@ -89,12 +89,19 @@ def reset(cfg: TSDFConfig) -> TSDFVolume:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "stride", "samples"))
+@partial(jax.jit, static_argnames=("cfg", "stride", "samples", "dedup_budget"))
 def allocate(vol: TSDFVolume, depth, rays, T_world_cam, cfg: TSDFConfig,
-             stride: int = 2, samples: int = 3) -> TSDFVolume:
+             stride: int = 2, samples: int = 3,
+             dedup_budget: int = 8192) -> TSDFVolume:
     """Ensure blocks exist along every ray's truncation band.
 
     depth: (H, W) meters (0 = invalid); rays: (H, W, 2) from pixel_rays.
+
+    Candidate keys are massively duplicated (adjacent pixels share blocks,
+    ~50-500x), and TPU scatter/gather costs ~12 ns/element, so the hash
+    insert would dominate if fed raw candidates. A sort + adjacent-diff
+    dedups them to <= dedup_budget unique keys first — sort is fast and
+    vectorized on TPU, the 16-round insert then touches only ~1-5k lanes.
     """
     d = jnp.asarray(depth)[::stride, ::stride]
     r = jnp.asarray(rays)[::stride, ::stride]
@@ -112,19 +119,31 @@ def allocate(vol: TSDFVolume, depth, rays, T_world_cam, cfg: TSDFConfig,
     keys = vhash.pack_key(coords)
     keys = jnp.where(jnp.tile(valid.reshape(-1), samples), keys, vhash.EMPTY_KEY)
 
+    # dedup: sort (EMPTY = -1 sorts first), keep first of each run
+    skeys = jnp.sort(keys)
+    first = jnp.concatenate([skeys[:1] != vhash.EMPTY_KEY,
+                             (skeys[1:] != skeys[:-1]) & (skeys[1:] != vhash.EMPTY_KEY)])
+    order = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_unique = order[-1] + 1
+    dst = jnp.where(first & (order < dedup_budget), order, dedup_budget)
+    ukeys = jnp.full((dedup_budget,), vhash.EMPTY_KEY, jnp.int32).at[dst].set(
+        skeys, mode="drop"
+    )
+    dedup_overflow = n_unique > dedup_budget
+
     # the last pool row is reserved as the Pallas worklist's trash slot
     table, counter, vals, overflowed = vhash.insert(
-        vol.table, vol.n_blocks, keys, jnp.int32(cfg.block_capacity - 1)
+        vol.table, vol.n_blocks, ukeys, jnp.int32(cfg.block_capacity - 1)
     )
     # record coords of (possibly fresh) slots; duplicates write equal values
     idx = jnp.where(vals >= 0, vals, cfg.block_capacity)  # MISS -> dropped
-    block_coords = vol.block_coords.at[idx].set(vhash.unpack_key(keys), mode="drop")
+    block_coords = vol.block_coords.at[idx].set(vhash.unpack_key(ukeys), mode="drop")
     return vol._replace(
         table_keys=table.keys,
         table_vals=table.vals,
         n_blocks=counter,
         block_coords=block_coords,
-        overflow=vol.overflow | overflowed,
+        overflow=vol.overflow | overflowed | dedup_overflow,
     )
 
 
