@@ -136,10 +136,13 @@ def _render(scene: Scene, intr: Intrinsics, T_world_cam, max_depth):
     z = best_t
     valid = z < max_depth
     z = jnp.where(valid, z, 0.0)
-    # Simple headlight shading so intensity has gradients for odometry.
-    to_cam = -dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    lam = jnp.clip(jnp.sum(normal * to_cam, axis=-1), 0.15, 1.0)
-    color = jnp.clip(albedo * lam[..., None], 0.0, 1.0)
+    # Fixed-world-light lambertian shading: view-INdependent intensity, so
+    # photometric odometry terms see a consistent scene across frames (real
+    # diffuse surfaces behave this way; a headlight model would bias them).
+    light = jnp.asarray([0.35, -0.6, -0.72], dtype=jnp.float32)
+    light = light / jnp.linalg.norm(light)
+    lam = jnp.clip(jnp.abs(jnp.sum(normal * light, axis=-1)), 0.0, 1.0)
+    color = jnp.clip(albedo * (0.25 + 0.75 * lam[..., None]), 0.0, 1.0)
     color = jnp.where(valid[..., None], color, 0.0)
     return z, color
 
