@@ -1,0 +1,91 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from azurekinect3dreconstruction_tpu.ops.neighbors import (
+    build_cell_lists,
+    estimate_normals_knn,
+    knn,
+    remove_statistical_outliers,
+    voxel_downsample_arrays,
+)
+
+
+def test_voxel_downsample_means():
+    rng = np.random.RandomState(0)
+    base = rng.uniform(-1, 1, (50, 3)).astype(np.float32)
+    # 4 jittered copies of each base point, all within one 0.05 voxel
+    pts = np.concatenate([base + rng.uniform(0, 0.004, (50, 3)) for _ in range(4)])
+    mask = jnp.ones((200,), bool)
+    out_pts, out_mask, _, _ = voxel_downsample_arrays(jnp.asarray(pts), mask, 0.05, 256)
+    n_out = int(np.asarray(out_mask).sum())
+    # jitter can straddle voxel borders: count must be close to 50, not 200
+    assert 50 <= n_out <= 75
+    # every output point is the mean of its voxel: it must lie inside it
+    op = np.asarray(out_pts)[np.asarray(out_mask)]
+    v_out = np.floor(op / 0.05)
+    v_in = np.floor(pts / 0.05)
+    vi = {tuple(x) for x in v_in.astype(int)}
+    assert all(tuple(x) in vi for x in v_out.astype(int))
+
+
+def test_voxel_downsample_respects_mask():
+    pts = jnp.asarray(np.array([[0.0, 0, 0], [10, 10, 10]], np.float32))
+    mask = jnp.asarray([True, False])
+    out_pts, out_mask, _, _ = voxel_downsample_arrays(pts, mask, 0.1, 16)
+    assert int(np.asarray(out_mask).sum()) == 1
+    np.testing.assert_allclose(np.asarray(out_pts)[np.asarray(out_mask)][0], [0, 0, 0], atol=1e-6)
+
+
+def test_knn_matches_bruteforce():
+    rng = np.random.RandomState(1)
+    pts = rng.uniform(0, 0.5, (300, 3)).astype(np.float32)
+    mask = jnp.ones((300,), bool)
+    radius = 0.08
+    nn, dist = knn(jnp.asarray(pts), mask, radius, k=6, capacity=4096, max_per_cell=16)
+    nn, dist = np.asarray(nn), np.asarray(dist)
+    d_all = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    np.fill_diagonal(d_all, np.inf)
+    for i in rng.choice(300, 40, replace=False):
+        true = np.sort(d_all[i][d_all[i] <= radius])[:6]
+        got = dist[i][np.isfinite(dist[i])]
+        # cell occupancy is capped, so got is a subset — but with
+        # max_per_cell=16 and this density it should be exact
+        np.testing.assert_allclose(got, true, atol=1e-5)
+
+
+def test_outlier_removal_drops_floaters():
+    rng = np.random.RandomState(2)
+    cloud = rng.uniform(0, 0.3, (500, 3)).astype(np.float32)  # dense cluster
+    floaters = np.array([[2.0, 2, 2], [-3, 1, 0], [0, 5, 1]], np.float32)
+    pts = jnp.asarray(np.concatenate([cloud, floaters]))
+    mask = jnp.ones((503,), bool)
+    new_mask = np.asarray(remove_statistical_outliers(pts, mask, k=10, std_ratio=2.0,
+                                                      radius=0.15))
+    assert not new_mask[500:].any(), "floaters must be removed"
+    assert new_mask[:500].mean() > 0.9, "dense cluster mostly kept"
+
+
+def test_estimate_normals_knn_plane():
+    rng = np.random.RandomState(3)
+    xy = rng.uniform(0, 0.5, (400, 2)).astype(np.float32)
+    pts = np.concatenate([xy, np.full((400, 1), 0.2, np.float32)], axis=1)
+    mask = jnp.ones((400,), bool)
+    n = np.asarray(estimate_normals_knn(jnp.asarray(pts), mask, radius=0.08, k=12,
+                                        orient_to=np.array([0.25, 0.25, 5.0])))
+    have = np.linalg.norm(n, axis=1) > 0.5
+    assert have.mean() > 0.95
+    # plane normal is +-z; orientation toward the camera above -> +z
+    assert (n[have][:, 2] > 0.99).mean() > 0.98
+
+
+def test_estimate_normals_knn_sphere():
+    rng = np.random.RandomState(4)
+    dirs = rng.normal(size=(600, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pts = (0.3 * dirs).astype(np.float32)
+    mask = jnp.ones((600,), bool)
+    n = np.asarray(estimate_normals_knn(jnp.asarray(pts), mask, radius=0.08, k=12))
+    have = np.linalg.norm(n, axis=1) > 0.5
+    cosang = np.abs(np.sum(n[have] * dirs[have], axis=1))
+    assert cosang.mean() > 0.97
