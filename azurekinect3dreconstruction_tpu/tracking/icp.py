@@ -182,3 +182,84 @@ def colored_icp(src_points, src_intensity, src_mask, tgt: TargetMaps,
                           dist_thr=cfg.icp_distance_threshold,
                           lambda_geometric=cfg.colored_icp_lambda_geometric,
                           colored=True, src_intensity=src_intensity)
+
+
+# ---------------------------------------------------------------------------
+# cloud-to-cloud ICP via grid-hash association (no camera needed)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("max_iters", "capacity", "max_per_cell"))
+def icp_grid(src_points, src_mask, tgt_points, tgt_normals, tgt_mask,
+             init=None, max_iters: int = 30, dist_thr: float = 0.05,
+             capacity: int = 16384, max_per_cell: int = 8) -> ICPResult:
+    """Point-to-plane ICP between two unorganized clouds.
+
+    Correspondences are 1-NN through the voxel-grid hash (cell size =
+    dist_thr, so the 27-cell search is complete within the gate) — the
+    TPU-shaped stand-in for Open3D's KDTree used by ``registration_icp``
+    on clouds (reference azure-kinect-DK/Reconstruction/3Dreconstruction.py:
+    112-160 fragment register/refine; Reconstruction.py:97-135).
+    """
+    from azurekinect3dreconstruction_tpu.ops.neighbors import (
+        build_cell_lists,
+        knn_gather,
+    )
+
+    src = jnp.asarray(src_points, jnp.float32)
+    tgt = jnp.asarray(tgt_points, jnp.float32)
+    nrm = jnp.asarray(tgt_normals, jnp.float32)
+    cells = build_cell_lists(tgt, tgt_mask, dist_thr, capacity, max_per_cell)
+    T0 = jnp.eye(4, dtype=jnp.float32) if init is None else jnp.asarray(init, jnp.float32)
+
+    def body(_, carry):
+        T, _stats = carry
+        p = se3.transform_points(T, src)
+        nn, dist = knn_gather(cells, tgt, p, src_mask, k=1, max_radius=dist_thr)
+        idx = nn[:, 0]
+        ok = src_mask & (idx >= 0)
+        idx_c = jnp.where(ok, idx, 0)
+        q = tgt[idx_c]
+        n = nrm[idx_c]
+        has_n = jnp.sum(n * n, axis=-1) > 0.5
+        ok = ok & has_n
+        r = jnp.sum((p - q) * n, axis=-1)
+        J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)
+        w = ok.astype(jnp.float32)
+        Jw = J * w[:, None]
+        JtJ = jnp.matmul(Jw.T, Jw, precision=_PP)
+        Jtr = jnp.matmul(Jw.T, r * w, precision=_PP)
+        delta = jnp.linalg.solve(JtJ + 1e-6 * jnp.eye(6), -Jtr)
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
+        T_new = jnp.matmul(se3.se3_exp(delta), T, precision=_PP)
+        n_in = jnp.sum(ok.astype(jnp.int32))
+        fit = n_in / jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1)
+        rmse = jnp.sqrt(jnp.sum(jnp.where(ok, dist[:, 0] ** 2, 0.0)) / jnp.maximum(n_in, 1))
+        return T_new, (fit, rmse, n_in)
+
+    stats0 = (jnp.zeros(()), jnp.zeros(()), jnp.zeros((), jnp.int32))
+    T, (fit, rmse, n_in) = jax.lax.fori_loop(0, max_iters, body, (T0, stats0))
+    return ICPResult(T=T, fitness=fit, inlier_rmse=rmse, inliers=n_in)
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def evaluate_registration(src_points, src_mask, tgt_points, tgt_mask, T,
+                          dist_thr: float = 0.02, capacity: int = 16384):
+    """Open3D ``evaluate_registration`` analog: (fitness, inlier_rmse) of T
+    applied to src vs tgt (used for the reference's overlap gates,
+    CreateMesh.py:629-642)."""
+    from azurekinect3dreconstruction_tpu.ops.neighbors import (
+        build_cell_lists,
+        knn_gather,
+    )
+
+    src = jnp.asarray(src_points, jnp.float32)
+    tgt = jnp.asarray(tgt_points, jnp.float32)
+    cells = build_cell_lists(tgt, tgt_mask, dist_thr, capacity)
+    p = se3.transform_points(jnp.asarray(T, jnp.float32), src)
+    nn, dist = knn_gather(cells, tgt, p, src_mask, k=1, max_radius=dist_thr)
+    ok = src_mask & (nn[:, 0] >= 0)
+    n_in = jnp.sum(ok.astype(jnp.int32))
+    fit = n_in / jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1)
+    rmse = jnp.sqrt(jnp.sum(jnp.where(ok, dist[:, 0] ** 2, 0.0)) / jnp.maximum(n_in, 1))
+    return fit, rmse
