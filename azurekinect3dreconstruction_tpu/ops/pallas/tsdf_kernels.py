@@ -41,8 +41,11 @@ from azurekinect3dreconstruction_tpu.config import TSDFConfig
 from azurekinect3dreconstruction_tpu.core.camera import Intrinsics
 from azurekinect3dreconstruction_tpu.core import se3
 
-WV = 64  # window rows (v)
-WU = 128  # window cols (u)
+WV = 64  # window rows (v); origins 8-aligned (DMA tile constraint)
+WU = 256  # window cols (u); origins 128-aligned, gathered in two 128-lane halves
+# usable footprint inside a window, accounting for origin alignment slack
+FOOT_V = WV - 10  # 8 alignment + rounding margin
+FOOT_U = WU - 132  # 128 alignment + margin
 N_LEVELS = 3
 
 # worklist sizes ladder (static shapes -> one compile per size)
@@ -51,7 +54,10 @@ WORKLIST_SIZES = (256, 512, 1024, 2048, 4096, 8192, 16384)
 
 def _pyr_shape(h: int, w: int, lvl: int) -> Tuple[int, int]:
     hl, wl = -(-h // (1 << lvl)), -(-w // (1 << lvl))
-    return max(hl, WV), max(wl, WU)
+    # round up to DMA tile multiples so aligned window slices always fit
+    hl = max(-(-hl // 8) * 8, WV)
+    wl = max(-(-wl // 128) * 128, WU)
+    return hl, wl
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
@@ -116,44 +122,61 @@ def build_worklist(vol_block_coords, vol_n_blocks, T_world_cam, intr: Intrinsics
         & (vmax > 0) & (vmin < intr.height)
     )
 
-    sv = (vmax - vmin) / (WV - 4)
-    su = (umax - umin) / (WU - 4)
+    sv = (vmax - vmin) / FOOT_V
+    su = (umax - umin) / FOOT_U
     s = jnp.maximum(jnp.maximum(sv, su), 1.0)
     lvl = jnp.where(s > 1.0, 1, 0) + jnp.where(s > 2.0, 1, 0)  # 0,1,2 (clamped)
     scale = jnp.exp2(-lvl.astype(jnp.float32))
 
     hl = jnp.asarray([_pyr_shape(intr.height, intr.width, l)[0] for l in range(N_LEVELS)])
     wl = jnp.asarray([_pyr_shape(intr.height, intr.width, l)[1] for l in range(N_LEVELS)])
-    vc = (vmin + vmax) * 0.5 * scale
-    uc = (umin + umax) * 0.5 * scale
-    v0 = jnp.clip(jnp.round(vc - WV / 2).astype(jnp.int32), 0, hl[lvl] - WV)
-    u0 = jnp.clip(jnp.round(uc - WU / 2).astype(jnp.int32), 0, wl[lvl] - WU)
+    # align-down origins to the DMA tiling (v: 8 sublanes, u: 128 lanes)
+    v0 = jnp.floor(vmin * scale / 8.0).astype(jnp.int32) * 8
+    u0 = jnp.floor(umin * scale / 128.0).astype(jnp.int32) * 128
+    v0 = jnp.clip(v0, 0, hl[lvl] - WV)
+    u0 = jnp.clip(u0, 0, wl[lvl] - WU)
 
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
     order = jnp.cumsum(visible.astype(jnp.int32)) - 1
     n_active = order[-1] + 1
     trash = jnp.int32(cfg.block_capacity - 1)
-    meta = jnp.zeros((N, 7), jnp.int32).at[:, 0].set(trash)
+    # meta is laid out (7, N): SMEM operands are lane-padded to 128, so the
+    # worklist must NOT be the minor dimension (an (N, 7) layout costs N*512B)
+    meta = jnp.zeros((7, N), jnp.int32).at[0].set(trash)
     dst = jnp.where(visible, order, N)
     rows = jnp.stack(
         [slot_ids, vol_block_coords[:, 0].astype(jnp.int32),
          vol_block_coords[:, 1].astype(jnp.int32), vol_block_coords[:, 2].astype(jnp.int32),
-         v0, u0, lvl], axis=-1,
-    )
-    meta = meta.at[dst].set(rows, mode="drop")
+         v0, u0, lvl], axis=0,
+    )  # (7, N)
+    meta = meta.at[:, dst].set(rows, mode="drop")
     return meta, n_active
 
 
 def _window_sample(win2, iv, iu, inb, S):
-    """Sample win2 (WV, WU) at per-voxel (iv, iu) in (S, 128) layout.
-    Returns (S, 128) f32; out-of-window voxels get 0."""
+    """Sample win2 (WV, WU=256) at per-voxel (iv, iu) in (S, 128) layout.
+    Returns (S, 128) f32; out-of-window voxels get 0.
+
+    The native dynamic_gather works within 128 lanes, so the 256-wide window
+    is gathered as two halves selected by iu's high bit; the v (sublane)
+    select is a one-hot masked 64-term strided reduction.
+    """
     ivc = jnp.clip(iv, 0, WV - 1)
-    iuc = jnp.clip(iu, 0, WU - 1)
-    big = jnp.broadcast_to(win2[:, None, :], (WV, S, WU)).reshape(WV * S, WU)
-    idx = jnp.broadcast_to(iuc[None], (WV, S, WU)).reshape(WV * S, WU)
-    g2 = jnp.take_along_axis(big, idx, axis=1)  # g2[r*S+s, l] = win[r, iu[s,l]]
-    rr = jax.lax.broadcasted_iota(jnp.int32, (WV * S, WU), 0) // S
-    ivb = jnp.broadcast_to(ivc[None], (WV, S, WU)).reshape(WV * S, WU)
+    iul = jnp.clip(iu, 0, 127)
+    iur = jnp.clip(iu - 128, 0, 127)
+
+    def half(wh, idx_half):
+        big = jnp.broadcast_to(wh[:, None, :], (WV, S, 128)).reshape(WV * S, 128)
+        idx = jnp.broadcast_to(idx_half[None], (WV, S, 128)).reshape(WV * S, 128)
+        return jnp.take_along_axis(big, idx, axis=1)
+
+    g_l = half(win2[:, :128], iul)
+    g_r = half(win2[:, 128:], iur)
+    right = jnp.broadcast_to((iu >= 128)[None], (WV, S, 128)).reshape(WV * S, 128)
+    g2 = jnp.where(right, g_r, g_l)
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (WV * S, 128), 0) // S
+    ivb = jnp.broadcast_to(ivc[None], (WV, S, 128)).reshape(WV * S, 128)
     sel = jnp.where(rr == ivb, g2, 0.0)
     acc = jnp.zeros((S, 128), jnp.float32)
     for r in range(WV):
@@ -169,12 +192,13 @@ def _make_kernel(R: int, intr: Intrinsics, cfg: TSDFConfig):
     def kernel(meta_ref, params_ref, p0_ref, p1_ref, p2_ref,
                t_in, w_in, c_in, t_out, w_out, c_out, win, sem):
         i = pl.program_id(0)
-        bcx = meta_ref[i, 1]
-        bcy = meta_ref[i, 2]
-        bcz = meta_ref[i, 3]
-        v0 = meta_ref[i, 4]
-        u0 = meta_ref[i, 5]
-        lvl = meta_ref[i, 6]
+        bcx = meta_ref[1, i]
+        bcy = meta_ref[2, i]
+        bcz = meta_ref[3, i]
+        # origins are align-down'ed in build_worklist; assert it to Mosaic
+        v0 = pl.multiple_of(meta_ref[4, i], 8)
+        u0 = pl.multiple_of(meta_ref[5, i], 128)
+        lvl = meta_ref[6, i]
 
         for l, pref in ((0, p0_ref), (1, p1_ref), (2, p2_ref)):
             @pl.when(lvl == l)
@@ -259,17 +283,17 @@ def _integrate_fn(R: int, N: int, hash_cap: int, intr: Intrinsics, cfg: TSDFConf
         grid=(M,),
         in_specs=[
             pl.BlockSpec((1, 24), lambda i, m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, S, 128), lambda i, m: (m[i, 0], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, 128), lambda i, m: (m[i, 0], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, S, 128), lambda i, m: (m[i, 0], 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, S, 128), lambda i, m: (m[0, i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda i, m: (m[0, i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, S, 128), lambda i, m: (m[0, i], 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, S, 128), lambda i, m: (m[i, 0], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, 128), lambda i, m: (m[i, 0], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, S, 128), lambda i, m: (m[i, 0], 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda i, m: (m[0, i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda i, m: (m[0, i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, S, 128), lambda i, m: (m[0, i], 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, WV, WU), jnp.float32),
@@ -325,10 +349,10 @@ def integrate_worklist(vol, depth, color, T_world_cam, intr: Intrinsics,
     if worklist_size is None:
         na = int(n_active)
         worklist_size = next(
-            (m for m in WORKLIST_SIZES if m >= na), meta_full.shape[0]
+            (m for m in WORKLIST_SIZES if m >= na), meta_full.shape[1]
         )
-        worklist_size = min(worklist_size, meta_full.shape[0])
-    meta = meta_full[:worklist_size]
+        worklist_size = min(worklist_size, meta_full.shape[1])
+    meta = meta_full[:, :worklist_size]
     p0, p1, p2 = prep_pyramids(jnp.asarray(depth), jnp.asarray(color),
                                intr.height, intr.width)
     extra = jnp.asarray(

@@ -67,9 +67,9 @@ def test_pallas_integrate_moving_camera(synthetic_camera):
         vol_x = tsdf.allocate(vol_x, z, rays, T, CFG)
         meta, _ = build_worklist(vol_p.block_coords, vol_p.n_blocks, T, intr, CFG)
         meta = np.array(meta)
-        live = meta[:, 0] != CFG.block_capacity - 1
-        seen[meta[live, 0]] = True
-        lvl0[meta[live & (meta[:, 6] > 0), 0]] = True  # mark mip>0 blocks
+        live = meta[0] != CFG.block_capacity - 1
+        seen[meta[0, live]] = True
+        lvl0[meta[0, live & (meta[6] > 0)]] = True  # mark mip>0 blocks
         snap = _snapshot(vol_x)
         vol_p = integrate_worklist(vol_p, z, c, T, intr, CFG, interpret=True)
         vol_x = tsdf.integrate(snap, z, c, T, intr, CFG)
@@ -104,4 +104,4 @@ def test_worklist_culls_out_of_view_blocks(synthetic_camera):
     meta, n_active = build_worklist(vol.block_coords, vol.n_blocks, T_back, intr, CFG)
     assert int(n_active) == 0
     # all rows padded with the trash slot
-    assert (np.array(meta[:, 0]) == CFG.block_capacity - 1).all()
+    assert (np.array(meta[0]) == CFG.block_capacity - 1).all()
