@@ -189,9 +189,22 @@ def _make_kernel(R: int, intr: Intrinsics, cfg: TSDFConfig):
     assert V % 128 == 0, "block_resolution^3 must be a multiple of 128"
     S = V // 128  # sublane rows when the block is viewed as (S, 128)
 
+    trash_slot = cfg.block_capacity - 1
+
     def kernel(meta_ref, params_ref, p0_ref, p1_ref, p2_ref,
                t_in, w_in, c_in, t_out, w_out, c_out, win, sem):
         i = pl.program_id(0)
+        is_pad = meta_ref[0, i] == trash_slot
+
+        # padding steps write nothing (their in/out block is the trash row,
+        # whose content is irrelevant) — skip the DMA and all compute.
+        @pl.when(jnp.logical_not(is_pad))
+        def _run():
+            _kernel_body(i, meta_ref, params_ref, p0_ref, p1_ref, p2_ref,
+                         t_in, w_in, c_in, t_out, w_out, c_out, win, sem)
+
+    def _kernel_body(i, meta_ref, params_ref, p0_ref, p1_ref, p2_ref,
+                     t_in, w_in, c_in, t_out, w_out, c_out, win, sem):
         bcx = meta_ref[1, i]
         bcy = meta_ref[2, i]
         bcz = meta_ref[3, i]
@@ -364,3 +377,75 @@ def integrate_worklist(vol, depth, color, T_world_cam, intr: Intrinsics,
                        intr, cfg, worklist_size, interpret)
     tsdf, weight, colorv = fn(meta, params, p0, p1, p2, vol.tsdf, vol.weight, vol.color)
     return vol._replace(tsdf=tsdf, weight=weight, color=colorv)
+
+
+# ---------------------------------------------------------------------------
+# fused per-frame step (zero host syncs — scan-able, donate-able)
+# ---------------------------------------------------------------------------
+
+
+def integrate_step(vol, depth, color, T_world_cam, rays, intr: Intrinsics,
+                   cfg: TSDFConfig, worklist_size: int, stride: int = 2,
+                   interpret: bool = False):
+    """allocate + worklist + pyramids + Pallas integrate as pure traced ops.
+
+    Unlike :func:`integrate_worklist`, there is NO host synchronization: the
+    worklist size is a static budget and overflow just sets the sticky flag
+    (callers poll it at their own cadence). Safe to wrap in jit / lax.scan —
+    one device dispatch per *batch* of frames, which matters enormously when
+    the host link is slow (and still saves launch overhead when it is not).
+    """
+    from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf_volume
+
+    depth = jnp.asarray(depth)
+    color = jnp.asarray(color)
+    vol = tsdf_volume.allocate(vol, depth, rays, T_world_cam, cfg, stride=stride)
+    meta_full, n_active = build_worklist(
+        vol.block_coords, vol.n_blocks, T_world_cam, intr, cfg
+    )
+    M = min(worklist_size, meta_full.shape[1])
+    meta = meta_full[:, :M]
+    p0, p1, p2 = prep_pyramids(depth, color, intr.height, intr.width)
+    extra = jnp.asarray(
+        [cfg.voxel_size, 1.0 / cfg.sdf_trunc, cfg.sdf_trunc, cfg.max_integration_weight],
+        jnp.float32,
+    )
+    params = _params_array_jit(T_world_cam, intr, extra)
+    fn = _integrate_fn(cfg.block_resolution, vol.tsdf.shape[0], cfg.hash_capacity,
+                       intr, cfg, M, interpret)
+    tsdf_a, weight_a, color_a = fn(meta, params, p0, p1, p2,
+                                   vol.tsdf, vol.weight, vol.color)
+    return vol._replace(
+        tsdf=tsdf_a, weight=weight_a, color=color_a,
+        overflow=vol.overflow | (n_active > M),
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def make_fused_frame_fn(intr: Intrinsics, cfg: TSDFConfig, worklist_size: int,
+                        stride: int = 2, interpret: bool = False):
+    """One-dispatch-per-frame fused step: (vol, depth, color, T, rays) -> vol."""
+
+    def step(vol, depth, color, T, rays):
+        return integrate_step(vol, depth, color, T, rays, intr, cfg,
+                              worklist_size, stride, interpret)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=16)
+def make_fused_batch_fn(intr: Intrinsics, cfg: TSDFConfig, worklist_size: int,
+                        stride: int = 2, interpret: bool = False):
+    """One-dispatch-per-BATCH fused step via lax.scan:
+    (vol, depths (F,H,W), colors (F,H,W,3), poses (F,4,4), rays) -> vol."""
+
+    def batch(vol, depths, colors, poses, rays):
+        def body(v, frame):
+            d, c, T = frame
+            return integrate_step(v, d, c, T, rays, intr, cfg,
+                                  worklist_size, stride, interpret), None
+
+        vol, _ = jax.lax.scan(body, vol, (depths, colors, poses))
+        return vol
+
+    return jax.jit(batch, donate_argnums=(0,))

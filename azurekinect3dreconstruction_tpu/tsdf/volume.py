@@ -92,7 +92,7 @@ def reset(cfg: TSDFConfig) -> TSDFVolume:
 @partial(jax.jit, static_argnames=("cfg", "stride", "samples", "dedup_budget"))
 def allocate(vol: TSDFVolume, depth, rays, T_world_cam, cfg: TSDFConfig,
              stride: int = 2, samples: int = 3,
-             dedup_budget: int = 8192) -> TSDFVolume:
+             dedup_budget: int = 4096) -> TSDFVolume:
     """Ensure blocks exist along every ray's truncation band.
 
     depth: (H, W) meters (0 = invalid); rays: (H, W, 2) from pixel_rays.
@@ -131,9 +131,13 @@ def allocate(vol: TSDFVolume, depth, rays, T_world_cam, cfg: TSDFConfig,
     )
     dedup_overflow = n_unique > dedup_budget
 
-    # the last pool row is reserved as the Pallas worklist's trash slot
+    # the last pool row is reserved as the Pallas worklist's trash slot.
+    # 8 probe rounds suffice at the low load factors the config enforces
+    # (hash_capacity >= 2x blocks); rare unresolved keys simply retry on the
+    # next frame's allocate.
     table, counter, vals, overflowed = vhash.insert(
-        vol.table, vol.n_blocks, ukeys, jnp.int32(cfg.block_capacity - 1)
+        vol.table, vol.n_blocks, ukeys, jnp.int32(cfg.block_capacity - 1),
+        max_probes=8,
     )
     # record coords of (possibly fresh) slots; duplicates write equal values
     idx = jnp.where(vals >= 0, vals, cfg.block_capacity)  # MISS -> dropped

@@ -1,7 +1,12 @@
 #!/usr/bin/env python
 """Headline benchmark: 640x576 NFOV depth frames fused into a 5 mm TSDF on one
-TPU chip (BASELINE.md target: >30 fps/camera; reference never measured its own
-CPU ScalableTSDFVolume, which re-extracts per frame — see SURVEY.md §6).
+TPU chip (BASELINE.md target: >30 fps/camera; the reference never measured its
+own CPU ScalableTSDFVolume, which also re-extracts the mesh every frame — see
+SURVEY.md §6).
+
+Measures the fused zero-sync frame step (allocate + frustum worklist + mip
+pyramids + Pallas integrate kernel) batched via lax.scan, plus the two-stage
+marching-cubes extraction time.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -19,6 +24,7 @@ def main():
     from azurekinect3dreconstruction_tpu.config import TSDFConfig
     from azurekinect3dreconstruction_tpu.core.camera import Intrinsics, pixel_rays
     from azurekinect3dreconstruction_tpu.io.synthetic import SyntheticCamera, orbit_trajectory
+    from azurekinect3dreconstruction_tpu.ops.pallas.tsdf_kernels import make_fused_batch_fn
     from azurekinect3dreconstruction_tpu.tsdf import marching_cubes as mc
     from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf
 
@@ -33,29 +39,29 @@ def main():
     cam = SyntheticCamera(intrinsics=intr)
     rays = pixel_rays(intr)
 
-    n_traj = 16
+    n_traj = 8
     poses = orbit_trajectory(n_traj, radius=0.35, angle_span=1.0)
-    frames = []
+    ds, cs, Ts = [], [], []
     for T in poses:
         z, c = cam.render(np.asarray(T, np.float32))
-        frames.append((jnp.asarray(z), jnp.asarray(c), jnp.asarray(T, jnp.float32)))
+        ds.append(z)
+        cs.append(c)
+        Ts.append(jnp.asarray(T, jnp.float32))
+    depths, colors, posearr = jnp.stack(ds), jnp.stack(cs), jnp.stack(Ts)
+    jax.block_until_ready(depths)
 
+    batch = make_fused_batch_fn(intr, cfg, worklist_size=2048, stride=2)
     vol = tsdf.create(cfg)
-
-    def step(vol, depth, color, T):
-        return tsdf.integrate_frame(vol, depth, color, rays, T, intr, cfg, stride=2)
-
-    # warmup / compile
-    vol = step(vol, *frames[0])
+    vol = batch(vol, depths, colors, posearr, rays)  # warmup/compile
     jax.block_until_ready(vol.tsdf)
 
-    n_iters = 60
+    reps = 10
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        vol = step(vol, *frames[i % n_traj])
+    for _ in range(reps):
+        vol = batch(vol, depths, colors, posearr, rays)
     jax.block_until_ready(vol.tsdf)
-    dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    dt = (time.perf_counter() - t0) / (reps * n_traj)
+    fps = 1.0 / dt
 
     # marching-cubes extraction timing (the reference re-extracts per frame)
     mesh = mc.extract_mesh(vol, cfg, max_cells=262144, max_tris=524288)
@@ -63,7 +69,8 @@ def main():
     t0 = time.perf_counter()
     n_ext = 5
     for _ in range(n_ext):
-        mesh = mc.extract_mesh(vol, cfg, max_cells=262144, max_tris=524288, auto_grow=False)
+        mesh = mc.extract_mesh(vol, cfg, max_cells=262144, max_tris=524288,
+                               auto_grow=False)
         jax.block_until_ready(mesh.vertices)
     extract_ms = (time.perf_counter() - t0) / n_ext * 1000.0
 
@@ -72,6 +79,7 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
+        "frame_ms": round(dt * 1000.0, 2),
         "extract_ms": round(extract_ms, 2),
         "mesh_triangles": int(mesh.num_triangles),
         "n_blocks": int(vol.n_blocks),
