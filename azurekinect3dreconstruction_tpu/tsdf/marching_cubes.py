@@ -7,10 +7,13 @@ CodeThatWorks/1camera-detectsSceneChanges.py:277-291 re-extracts EVERY frame).
 XLA cannot produce dynamic-size meshes, so extraction is staged with fixed
 budgets (SURVEY.md §7.3 "marching cubes dynamic output"):
 
-A. **survey** — one elementwise pass over all blocks builds a (R+1)^3 padded
-   corner grid per block (interior = reshape, faces = 817 cross-block gathers
-   per block via the neighbor hash), then computes each cell's 8-bit case and
-   triangle count. A prefix sum assigns every cell its output offset.
+A. **survey** — one pass over the *alive prefix* of the pool (block slots are
+   allocated densely, so "alive" is a static-size slice chosen from a ladder)
+   builds a (R+1)^3 padded corner grid per block. Interior corners are a
+   reshape; cross-block faces/edges/corner come from 7 slice-shaped gathers
+   through the neighbor hash (regular (R,R)/(R,)/scalar slices per block —
+   vector loads, not 817 scalar gathers). Each cell's 8-bit case and triangle
+   count follow elementwise; a prefix sum assigns output offsets.
 B. **compact** — active cells (ntri > 0) are scattered into a fixed-capacity
    worklist. Typical scans activate ~1-3% of cells, so the expensive stage
    only touches surface cells.
@@ -45,119 +48,122 @@ _EDGE_A = jnp.asarray(mt.EDGE_ENDPOINTS[:, 0])  # (12,)
 _EDGE_B = jnp.asarray(mt.EDGE_ENDPOINTS[:, 1])
 _CORNERS = jnp.asarray(mt.CORNER_OFFSETS)  # (8, 3)
 
-
-def _neighbor_slots(vol: TSDFVolume):
-    """(N, 8) pool slots of the 8 (0/1)^3 neighbor blocks (self = code 0)."""
-    offs = _CORNERS  # (8, 3) — same 0/1 pattern
-    keys = vhash.pack_key(vol.block_coords[:, None, :] + offs[None])  # (N, 8)
-    return vhash.lookup(vol.table, keys)
+EXTRACT_SIZES = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
 
-def _padded_grids(vol: TSDFVolume, R: int):
-    """Padded (R+1)^3 tsdf/weight grids per block; cross-block faces gathered
-    through the neighbor table. Missing neighbors read weight 0."""
-    N = vol.tsdf.shape[0]
-    nbr = _neighbor_slots(vol)  # (N, 8)
-    t_own = vol.tsdf.reshape(N, R, R, R)
-    w_own = vol.weight.reshape(N, R, R, R)
+def _neighbor_slots(table, block_coords):
+    """(E, 8) pool slots of the 8 (0/1)^3 neighbor blocks (self = code 0)."""
+    keys = vhash.pack_key(block_coords[:, None, :] + _CORNERS[None])  # (E, 8)
+    return vhash.lookup(table, keys)
 
+
+def _padded_grids(t4, w4, nbr, alive, R: int):
+    """Padded (R+1)^3 tsdf/weight grids for E blocks.
+
+    t4/w4: (E, R, R, R); nbr: (E, 8) neighbor slots (< E or -1); alive (E,).
+    Cross-block faces come from slice-shaped gathers (fast vector loads)."""
+    E = t4.shape[0]
     P = R + 1
-    tp = jnp.ones((N, P, P, P), jnp.float32)
-    wp = jnp.zeros((N, P, P, P), jnp.float32)
-    tp = tp.at[:, :R, :R, :R].set(t_own)
-    wp = wp.at[:, :R, :R, :R].set(w_own)
+    tp = jnp.ones((E, P, P, P), jnp.float32)
+    wp = jnp.zeros((E, P, P, P), jnp.float32)
+    tp = tp.at[:, :R, :R, :R].set(t4)
+    wp = wp.at[:, :R, :R, :R].set(jnp.where(alive[:, None, None, None], w4, 0.0))
 
-    def fetch(code, sel):
-        """Gather the plane/edge/corner at local coords given by sel arrays."""
-        slot = nbr[:, code]  # (N,)
-        ok = slot >= 0
-        slot_c = jnp.where(ok, slot, 0)
-        li, lj, lk = sel
-        lin = li * R * R + lj * R + lk  # broadcastable to (len_i, len_j, len_k)
-        t = vol.tsdf[slot_c[:, None, None, None], lin[None]]
-        w = vol.weight[slot_c[:, None, None, None], lin[None]]
-        w = jnp.where(ok[:, None, None, None], w, 0.0)
+    def fetch(code, index):
+        s = nbr[:, code]
+        ok = (s >= 0) & alive
+        sc = jnp.where(ok, s, 0)
+        t = index(t4, sc)
+        w = jnp.where(
+            ok.reshape((E,) + (1,) * (t.ndim - 1)), index(w4, sc), 0.0
+        )
         return t, w
 
-    r_idx = jnp.arange(R)
-    z1 = jnp.zeros((1,), jnp.int32)
-    # +x face (gi == R -> neighbor code 1, local i = 0)
-    t, w = fetch(1, (z1[:, None, None], r_idx[None, :, None], r_idx[None, None, :]))
-    tp = tp.at[:, R, :R, :R].set(t[:, 0])
-    wp = wp.at[:, R, :R, :R].set(w[:, 0])
-    # +y face (code 2)
-    t, w = fetch(2, (r_idx[:, None, None], z1[None, :, None], r_idx[None, None, :]))
-    tp = tp.at[:, :R, R, :R].set(t[:, :, 0])
-    wp = wp.at[:, :R, R, :R].set(w[:, :, 0])
-    # +z face (code 4)
-    t, w = fetch(4, (r_idx[:, None, None], r_idx[None, :, None], z1[None, None, :]))
-    tp = tp.at[:, :R, :R, R].set(t[:, :, :, 0])
-    wp = wp.at[:, :R, :R, R].set(w[:, :, :, 0])
-    # +xy edge (code 3)
-    t, w = fetch(3, (z1[:, None, None], z1[None, :, None], r_idx[None, None, :]))
-    tp = tp.at[:, R, R, :R].set(t[:, 0, 0])
-    wp = wp.at[:, R, R, :R].set(w[:, 0, 0])
-    # +xz edge (code 5)
-    t, w = fetch(5, (z1[:, None, None], r_idx[None, :, None], z1[None, None, :]))
-    tp = tp.at[:, R, :R, R].set(t[:, 0, :, 0])
-    wp = wp.at[:, R, :R, R].set(w[:, 0, :, 0])
-    # +yz edge (code 6)
-    t, w = fetch(6, (r_idx[:, None, None], z1[None, :, None], z1[None, None, :]))
-    tp = tp.at[:, :R, R, R].set(t[:, :, 0, 0])
-    wp = wp.at[:, :R, R, R].set(w[:, :, 0, 0])
-    # +xyz corner (code 7)
-    t, w = fetch(7, (z1[:, None, None], z1[None, :, None], z1[None, None, :]))
-    tp = tp.at[:, R, R, R].set(t[:, 0, 0, 0])
-    wp = wp.at[:, R, R, R].set(w[:, 0, 0, 0])
-    return tp, wp, nbr
+    # +x face: neighbor local x == 0
+    t, w = fetch(1, lambda a, s: a[s, 0, :, :])
+    tp = tp.at[:, R, :R, :R].set(t)
+    wp = wp.at[:, R, :R, :R].set(w)
+    # +y face
+    t, w = fetch(2, lambda a, s: a[s, :, 0, :])
+    tp = tp.at[:, :R, R, :R].set(t)
+    wp = wp.at[:, :R, R, :R].set(w)
+    # +z face
+    t, w = fetch(4, lambda a, s: a[s, :, :, 0])
+    tp = tp.at[:, :R, :R, R].set(t)
+    wp = wp.at[:, :R, :R, R].set(w)
+    # +xy edge
+    t, w = fetch(3, lambda a, s: a[s, 0, 0, :])
+    tp = tp.at[:, R, R, :R].set(t)
+    wp = wp.at[:, R, R, :R].set(w)
+    # +xz edge
+    t, w = fetch(5, lambda a, s: a[s, 0, :, 0])
+    tp = tp.at[:, R, :R, R].set(t)
+    wp = wp.at[:, R, :R, R].set(w)
+    # +yz edge
+    t, w = fetch(6, lambda a, s: a[s, :, 0, 0])
+    tp = tp.at[:, :R, R, R].set(t)
+    wp = wp.at[:, :R, R, R].set(w)
+    # +xyz corner
+    t, w = fetch(7, lambda a, s: a[s, 0, 0, 0])
+    tp = tp.at[:, R, R, R].set(t)
+    wp = wp.at[:, R, R, R].set(w)
+    return tp, wp
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_cells", "max_tris"))
+@partial(jax.jit, static_argnames=("cfg", "max_cells", "max_tris", "extract_blocks"))
 def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
-                        max_cells: int = 65536, max_tris: int = 131072):
+                        max_cells: int = 65536, max_tris: int = 131072,
+                        extract_blocks: int = None):
     """Device-side extraction. Returns (vertices (3*max_tris,3), colors,
-    num_tris, overflow_flag)."""
+    num_tris, overflow_flag). ``extract_blocks`` bounds the alive prefix
+    processed (blocks are allocated densely, so slots >= n_blocks are dead)."""
     R = cfg.block_resolution
     N = vol.tsdf.shape[0]
+    E = min(extract_blocks or N, N)
     C3 = R * R * R
 
-    # ---- stage A: survey --------------------------------------------------
-    tp, wp, nbr = _padded_grids(vol, R)
+    t4 = vol.tsdf[:E].reshape(E, R, R, R)
+    w4 = vol.weight[:E].reshape(E, R, R, R)
+    coords = vol.block_coords[:E]
+    alive = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0)[:, 0] < vol.n_blocks
+    nbr = _neighbor_slots(vol.table, coords)
+    # neighbors beyond the extract prefix are treated as absent (they can
+    # only exist if E < n_blocks, which the caller prevents)
+    nbr = jnp.where(nbr < E, nbr, -1)
+
+    # ---- stage A: survey ---------------------------------------------------
+    tp, wp = _padded_grids(t4, w4, nbr, alive, R)
     inside = (tp < 0.0) & (wp > 0.0)
     validc = wp > 0.0
 
-    # cell corner view: corners k at (i+dx, j+dy, k+dz)
     def corner_view(a, k):
         dx, dy, dz = mt.CORNER_OFFSETS[k]
         return a[:, dx : dx + R, dy : dy + R, dz : dz + R]
 
-    case = jnp.zeros((N, R, R, R), jnp.int32)
-    all_valid = jnp.ones((N, R, R, R), jnp.bool_)
+    case = jnp.zeros((E, R, R, R), jnp.int32)
+    all_valid = jnp.ones((E, R, R, R), jnp.bool_)
     for k in range(8):
         case = case | (corner_view(inside, k).astype(jnp.int32) << k)
         all_valid = all_valid & corner_view(validc, k)
 
-    slot_alive = (
-        jax.lax.broadcasted_iota(jnp.int32, (N, 1, 1, 1), 0) < vol.n_blocks
-    )
-    ntri = jnp.where(all_valid & slot_alive, _TRI_COUNT[case], 0)  # (N,R,R,R)
+    ntri = jnp.where(all_valid & alive[:, None, None, None], _TRI_COUNT[case], 0)
 
     ntri_flat = ntri.reshape(-1)
     offsets = jnp.cumsum(ntri_flat) - ntri_flat  # exclusive prefix sum
     total_tris = offsets[-1] + ntri_flat[-1]
 
-    # ---- stage B: compact active cells ------------------------------------
+    # ---- stage B: compact active cells --------------------------------------
     active = ntri_flat > 0
     order = jnp.cumsum(active.astype(jnp.int32)) - 1
     n_active = order[-1] + 1
     dst = jnp.where(active & (order < max_cells), order, max_cells)
     wl_cell = jnp.full((max_cells,), -1, jnp.int32)
     wl_off = jnp.zeros((max_cells,), jnp.int32)
-    cell_ids = jax.lax.broadcasted_iota(jnp.int32, (N * C3, 1), 0)[:, 0]
+    cell_ids = jax.lax.broadcasted_iota(jnp.int32, (E * C3, 1), 0)[:, 0]
     wl_cell = wl_cell.at[dst].set(cell_ids, mode="drop")
     wl_off = wl_off.at[dst].set(offsets.astype(jnp.int32), mode="drop")
 
-    # ---- stage C: emit -----------------------------------------------------
+    # ---- stage C: emit -------------------------------------------------------
     live = wl_cell >= 0
     cid = jnp.where(live, wl_cell, 0)
     b = cid // C3
@@ -166,11 +172,14 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     cj = (rem // R) % R
     ck = rem % R
 
-    # corner values from the padded grid + colors via neighbor gather
     gi = ci[:, None] + _CORNERS[None, :, 0]  # (M, 8)
     gj = cj[:, None] + _CORNERS[None, :, 1]
     gk = ck[:, None] + _CORNERS[None, :, 2]
-    vals = tp[b[:, None], gi, gj, gk]  # (M, 8)
+    # flat-index gathers (single index vector) lower to simpler TPU gathers
+    # than 4D advanced indexing
+    P = R + 1
+    tflat = tp.reshape(-1)
+    vals = tflat[((b[:, None] * P + gi) * P + gj) * P + gk]  # (M, 8)
 
     code = ((gi == R).astype(jnp.int32)
             + 2 * (gj == R).astype(jnp.int32)
@@ -178,14 +187,16 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     cslot = nbr[b[:, None], code]
     cslot = jnp.where(cslot >= 0, cslot, 0)
     clin = (gi % R) * R * R + (gj % R) * R + (gk % R)
-    cols = vol.color[cslot, :, clin]  # channel-major pool -> (M, 8, 3)
+    cfl = vol.color[:E].reshape(-1)
+    V = R * R * R
+    cidx = cslot * (3 * V) + clin
+    cols = jnp.stack([cfl[cidx], cfl[cidx + V], cfl[cidx + 2 * V]], axis=-1)  # (M,8,3)
 
     mcase = jnp.zeros(b.shape, jnp.int32)
     for k in range(8):
         mcase = mcase | ((vals[:, k] < 0.0).astype(jnp.int32) << k)
     mntri = jnp.where(live, _TRI_COUNT[mcase], 0)
 
-    # 12 edge intersections per cell
     va = vals[:, _EDGE_A]  # (M, 12)
     vb = vals[:, _EDGE_B]
     denom = va - vb
@@ -193,8 +204,7 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     frac = jnp.clip(frac, 0.0, 1.0)
     pa = _CORNERS[_EDGE_A].astype(jnp.float32)  # (12, 3)
     pb = _CORNERS[_EDGE_B].astype(jnp.float32)
-    base = (vol.block_coords[b] * R + jnp.stack([ci, cj, ck], -1)).astype(jnp.float32)
-    # corner positions are voxel centers -> +0.5
+    base = (coords[b] * R + jnp.stack([ci, cj, ck], -1)).astype(jnp.float32)
     epos = (base[:, None, :] + 0.5 + pa[None] + frac[..., None] * (pb - pa)[None]
             ) * cfg.voxel_size  # (M, 12, 3)
     ca = cols[:, _EDGE_A]  # (M, 12, 3)
@@ -202,18 +212,24 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     ecol = ca + frac[..., None] * (cb - ca)
 
     tri_edges = _TRI_TABLE[mcase]  # (M, 15)
+    # edge-id -> position/color select WITHOUT per-lane gathers (TPU gathers
+    # cost ~25 ns/element; a 12-term masked sum is pure VPU and ~100x cheaper)
+    te = tri_edges[:, :, None]  # (M, 15, 1)
+    pos15 = jnp.zeros((max_cells, 15, 3), jnp.float32)
+    col15 = jnp.zeros((max_cells, 15, 3), jnp.float32)
+    for e in range(12):
+        sel = (te == e)
+        pos15 = pos15 + jnp.where(sel, epos[:, None, e, :], 0.0)
+        col15 = col15 + jnp.where(sel, ecol[:, None, e, :], 0.0)
+
     verts = jnp.zeros((max_tris * 3, 3), jnp.float32)
     vcols = jnp.zeros((max_tris * 3, 3), jnp.float32)
-    M = max_cells
     for t in range(mt.MAX_TRIS_PER_CELL):
         emit = live & (t < mntri) & (wl_off + t < max_tris)
         out = jnp.where(emit, (wl_off + t) * 3, max_tris * 3)
         for v in range(3):
-            e = jnp.clip(tri_edges[:, 3 * t + v], 0, 11)
-            p = epos[jnp.arange(M), e]
-            c = ecol[jnp.arange(M), e]
-            verts = verts.at[out + v].set(p, mode="drop")
-            vcols = vcols.at[out + v].set(c, mode="drop")
+            verts = verts.at[out + v].set(pos15[:, 3 * t + v], mode="drop")
+            vcols = vcols.at[out + v].set(col15[:, 3 * t + v], mode="drop")
 
     num_tris = jnp.minimum(total_tris, max_tris).astype(jnp.int32)
     overflow = (total_tris > max_tris) | (n_active > max_cells)
@@ -227,9 +243,13 @@ def extract_mesh(vol: TSDFVolume, cfg: TSDFConfig, max_cells: int = 65536,
                  max_tris: int = 131072, auto_grow: bool = True) -> TriangleMesh:
     """Extract a triangle-soup mesh; grows static budgets (x4, recompile)
     if they overflow and ``auto_grow``."""
+    n_alive = int(vol.n_blocks)
+    N = vol.tsdf.shape[0]
+    E = next((e for e in EXTRACT_SIZES if e >= n_alive), N)
+    E = min(E, N)
     while True:
         verts, vcols, num_tris, overflow = extract_mesh_arrays(
-            vol, cfg, max_cells=max_cells, max_tris=max_tris
+            vol, cfg, max_cells=max_cells, max_tris=max_tris, extract_blocks=E
         )
         if not (auto_grow and bool(overflow)):
             break
