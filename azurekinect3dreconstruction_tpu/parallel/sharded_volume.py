@@ -1,0 +1,220 @@
+"""Multi-chip TSDF fusion: cameras x block-shards over a device mesh.
+
+The reference's only concurrency is one capture thread per camera feeding a
+queue (reference CreateMesh.py:72-189; SURVEY.md §2.3 — no distributed
+anything). The TPU-native scale-out story replaces that with SPMD over a
+``jax.sharding.Mesh`` with two axes:
+
+- ``cam`` (data parallel): each camera's frame lives on its own mesh row;
+  per-voxel TSDF observations are *order-independent weighted sums*, so
+  multi-camera fusion is literally a ``psum`` over the cam axis.
+- ``blk`` (spatial parallel — this project's "tensor/sequence parallelism"):
+  every device owns an independent sub-volume (hash + block pool) responsible
+  for the block keys that hash to its shard. Allocation broadcasts candidate
+  keys over the cam axis (one ``all_gather`` of strided key sets — kilobytes)
+  and each shard inserts only the keys it owns, so the pools never overlap
+  and extraction is a disjoint union.
+
+All collectives ride ICI inside one jitted ``shard_map`` step; the host never
+touches per-frame data. Capacity scales linearly with blk (each shard holds
+``block_capacity`` blocks), and per-step work scales 1/blk for integration
+and 1/cam for projection math.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from azurekinect3dreconstruction_tpu.config import TSDFConfig
+from azurekinect3dreconstruction_tpu.core.camera import Intrinsics
+from azurekinect3dreconstruction_tpu.core import se3
+from azurekinect3dreconstruction_tpu.tsdf import hash as vhash
+from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf_volume
+from azurekinect3dreconstruction_tpu.tsdf.volume import TSDFVolume
+
+
+def make_mesh(n_cam: int, n_blk: int, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= n_cam * n_blk, "not enough devices for mesh"
+    return Mesh(devices[: n_cam * n_blk].reshape(n_cam, n_blk), ("cam", "blk"))
+
+
+def _owner(keys, n_shards):
+    """Which blk shard owns a packed block key (salt-mixed, load-balanced)."""
+    salt = jnp.asarray(np.int64(0x9E3779B9) - (1 << 32), jnp.int32)  # wrapped
+    h = vhash._mix(keys ^ salt)
+    return (h % jnp.uint32(n_shards)).astype(jnp.int32)
+
+
+def create_sharded(cfg: TSDFConfig, mesh: Mesh) -> TSDFVolume:
+    """A TSDFVolume whose leading (block/hash) axes carry one *independent*
+    sub-volume per blk shard: arrays are (n_blk * capacity, ...) sharded on
+    axis 0 and replicated over cam."""
+    n_blk = mesh.shape["blk"]
+    base = tsdf_volume.create(cfg)
+
+    def rep(a, spec):
+        big = jnp.concatenate([a] * n_blk, axis=0) if a.ndim else a
+        return jax.device_put(big, jax.sharding.NamedSharding(mesh, spec))
+
+    return TSDFVolume(
+        table_keys=rep(base.table_keys, P("blk")),
+        table_vals=rep(base.table_vals, P("blk")),
+        n_blocks=jax.device_put(
+            jnp.zeros((n_blk,), jnp.int32), jax.sharding.NamedSharding(mesh, P("blk"))
+        ),
+        block_coords=rep(base.block_coords, P("blk")),
+        tsdf=rep(base.tsdf, P("blk")),
+        weight=rep(base.weight, P("blk")),
+        color=rep(base.color, P("blk")),
+        overflow=jax.device_put(
+            jnp.zeros((n_blk,), jnp.bool_), jax.sharding.NamedSharding(mesh, P("blk"))
+        ),
+    )
+
+
+def make_sharded_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
+                      stride: int = 4, samples: int = 3,
+                      dedup_budget: int = 2048):
+    """Build the jitted multi-camera fusion step.
+
+    step(vol, depths (n_cam, H, W), colors (n_cam, H, W, 3),
+         poses (n_cam, 4, 4), rays (H, W, 2)) -> vol
+
+    Per (cam, blk) device: allocate its shard from ALL cameras' candidate
+    keys, then integrate its own camera's frame into its shard and psum the
+    observation sums over cam.
+    """
+    n_cam = mesh.shape["cam"]
+    n_blk = mesh.shape["blk"]
+    R = cfg.block_resolution
+
+    def step(vol: TSDFVolume, depths, colors, poses, rays):
+        def shard_fn(tk, tv, nb, bc, ts, wg, co, ovf, depth, color, pose, rays):
+            # leading singleton shard dims
+            depth = depth[0]
+            color = color[0]
+            pose = pose[0]
+            nb = nb[0]
+            ovf = ovf[0]
+            my_blk = jax.lax.axis_index("blk")
+
+            local = TSDFVolume(tk, tv, nb, bc, ts, wg, co, ovf)
+
+            # ---- allocation: candidates from ALL cameras ----------------
+            d = depth[::stride, ::stride]
+            r = rays[::stride, ::stride]
+            valid = d > 0
+            p = jnp.concatenate([r * d[..., None], d[..., None]], axis=-1)
+            offs = jnp.linspace(-cfg.sdf_trunc, cfg.sdf_trunc, samples,
+                                dtype=jnp.float32)
+            scale = 1.0 + offs[:, None, None] / jnp.maximum(d, 1e-6)[None]
+            pts = (p[None] * scale[..., None]).reshape(-1, 3)
+            world = se3.transform_points(pose, pts)
+            keys = vhash.pack_key(jnp.floor(world / cfg.block_size).astype(jnp.int32))
+            keys = jnp.where(jnp.tile(valid.reshape(-1), samples), keys,
+                             vhash.EMPTY_KEY)
+            # dedup my camera's keys, then gather every camera's dedup set
+            skeys = jnp.sort(keys)
+            first = jnp.concatenate(
+                [skeys[:1] != vhash.EMPTY_KEY,
+                 (skeys[1:] != skeys[:-1]) & (skeys[1:] != vhash.EMPTY_KEY)])
+            order = jnp.cumsum(first.astype(jnp.int32)) - 1
+            dst = jnp.where(first & (order < dedup_budget), order, dedup_budget)
+            ukeys = jnp.full((dedup_budget,), vhash.EMPTY_KEY, jnp.int32).at[dst].set(
+                skeys, mode="drop")
+            all_keys = jax.lax.all_gather(ukeys, "cam").reshape(-1)
+            # keep only keys this blk shard owns
+            mine = (_owner(all_keys, n_blk) == my_blk) & (all_keys != vhash.EMPTY_KEY)
+            all_keys = jnp.where(mine, all_keys, vhash.EMPTY_KEY)
+            table, counter, vals, overflowed = vhash.insert(
+                local.table, local.n_blocks, all_keys,
+                jnp.int32(cfg.block_capacity - 1), max_probes=8)
+            idx = jnp.where(vals >= 0, vals, cfg.block_capacity)
+            bc2 = local.block_coords.at[idx].set(vhash.unpack_key(all_keys),
+                                                 mode="drop")
+            local = local._replace(table_keys=table.keys, table_vals=table.vals,
+                                   n_blocks=counter, block_coords=bc2,
+                                   overflow=ovf | overflowed)
+
+            # ---- integration: my camera -> my shard; psum over cam -------
+            T_cw = se3.inverse(pose)
+            pts_w = tsdf_volume.voxel_world_centers(local.block_coords, cfg)
+            pc = se3.transform_points(T_cw, pts_w.reshape(-1, 3)).reshape(pts_w.shape)
+            z = pc[..., 2]
+            zs = jnp.maximum(z, 1e-6)
+            u = pc[..., 0] / zs * intr.fx + intr.cx
+            v = pc[..., 1] / zs * intr.fy + intr.cy
+            ui = jnp.round(u).astype(jnp.int32)
+            vi = jnp.round(v).astype(jnp.int32)
+            inb = ((z > 1e-4) & (ui >= 0) & (vi >= 0)
+                   & (ui < intr.width) & (vi < intr.height))
+            uic = jnp.clip(ui, 0, intr.width - 1)
+            vic = jnp.clip(vi, 0, intr.height - 1)
+            dsmp = depth[vic, uic]
+            sdf = dsmp - z
+            N = local.tsdf.shape[0]
+            alive = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) < local.n_blocks
+            upd = inb & (dsmp > 0) & (sdf > -cfg.sdf_trunc) & alive
+            tsdf_obs = jnp.minimum(sdf / cfg.sdf_trunc, 1.0)
+            csmp = jnp.swapaxes(color[vic, uic], 1, 2)  # (N, 3, V)
+
+            w_obs = upd.astype(jnp.float32)
+            sums = (
+                jax.lax.psum(w_obs, "cam"),
+                jax.lax.psum(w_obs * tsdf_obs, "cam"),
+                jax.lax.psum(w_obs[:, None, :] * csmp, "cam"),
+            )
+            dw, dwt, dwc = sums
+            w_old = local.weight
+            w_new = jnp.minimum(w_old + dw, cfg.max_integration_weight)
+            denom = jnp.maximum(w_old + dw, 1e-9)
+            t_new = jnp.where(dw > 0, (local.tsdf * w_old + dwt) / denom, local.tsdf)
+            c_new = jnp.where((dw > 0)[:, None, :],
+                              (local.color * w_old[:, None, :] + dwc) / denom[:, None, :],
+                              local.color)
+
+            return (local.table_keys, local.table_vals, local.n_blocks[None],
+                    local.block_coords, t_new, w_new, c_new,
+                    local.overflow[None])
+
+        specs_vol = (P("blk"), P("blk"), P("blk"), P("blk"), P("blk"), P("blk"),
+                     P("blk"), P("blk"))
+        fn = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=specs_vol + (P("cam"), P("cam"), P("cam"), P()),
+            out_specs=specs_vol,
+            check_vma=False,
+        )
+
+        out = fn(vol.table_keys, vol.table_vals, vol.n_blocks, vol.block_coords,
+                 vol.tsdf, vol.weight, vol.color, vol.overflow,
+                 depths, colors, poses, rays)
+        return TSDFVolume(*out)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def gather_volume(vol: TSDFVolume, cfg: TSDFConfig, shard: int, n_blk: int) -> TSDFVolume:
+    """Host-side: extract one shard's sub-volume as an ordinary TSDFVolume
+    (extraction then runs per shard; the union of meshes is the scene)."""
+    C = cfg.hash_capacity
+    N = cfg.block_capacity
+    sl = lambda a, n: jnp.asarray(np.asarray(a)[shard * n : (shard + 1) * n])
+    return TSDFVolume(
+        table_keys=sl(vol.table_keys, C),
+        table_vals=sl(vol.table_vals, C),
+        n_blocks=jnp.asarray(np.asarray(vol.n_blocks)[shard]),
+        block_coords=sl(vol.block_coords, N),
+        tsdf=sl(vol.tsdf, N),
+        weight=sl(vol.weight, N),
+        color=sl(vol.color, N),
+        overflow=jnp.asarray(np.asarray(vol.overflow)[shard]),
+    )
