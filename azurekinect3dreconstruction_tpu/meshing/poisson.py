@@ -1,0 +1,101 @@
+"""Host-side surface meshing from point clouds: Poisson + ball pivoting.
+
+The reference meshes saved clouds with Open3D's Poisson reconstruction
+(depth 9, density-quantile culling) falling back to ball pivoting
+(reference CreateMesh.py:32-70, CodeThatKindaWorks/PointCloudToMesh.py:6-119,
+BetterVisualizerD2camerasWorks1Cam.py:426-444). Poisson's octree solver is
+not TPU-shaped (SURVEY.md §7.3), so these stay host-side, gated on Open3D
+being installed; the TSDF -> marching-cubes path is the framework's primary
+mesher (it is what the reference's "works" pipelines actually render).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from azurekinect3dreconstruction_tpu.core.types import PointCloudHost, TriangleMeshHost
+from azurekinect3dreconstruction_tpu.utils.telemetry import log_warning
+
+
+def _o3d():
+    try:
+        import open3d as o3d  # noqa
+
+        return o3d
+    except ImportError:
+        return None
+
+
+def _to_o3d_cloud(cloud: PointCloudHost):
+    o3d = _o3d()
+    pcd = o3d.geometry.PointCloud()
+    pcd.points = o3d.utility.Vector3dVector(cloud.points.astype(np.float64))
+    if cloud.colors is not None:
+        pcd.colors = o3d.utility.Vector3dVector(cloud.colors.astype(np.float64))
+    if cloud.normals is not None:
+        pcd.normals = o3d.utility.Vector3dVector(cloud.normals.astype(np.float64))
+    return pcd
+
+
+def _from_o3d_mesh(mesh) -> TriangleMeshHost:
+    return TriangleMeshHost(
+        vertices=np.asarray(mesh.vertices, np.float32),
+        triangles=np.asarray(mesh.triangles, np.int32),
+        vertex_colors=(np.asarray(mesh.vertex_colors, np.float32)
+                       if len(mesh.vertex_colors) else None),
+    )
+
+
+def poisson_mesh_from_cloud(cloud: PointCloudHost, depth: int = 9,
+                            density_quantile: float = 0.01
+                            ) -> Optional[TriangleMeshHost]:
+    """Poisson reconstruction + density-quantile culling (reference
+    CreateMesh.py:414-461 runs Poisson twice; here once, reusing densities).
+    Returns None when Open3D is unavailable or the cloud is unusable."""
+    o3d = _o3d()
+    if o3d is None:
+        log_warning("open3d not installed; Poisson meshing unavailable "
+                    "(use the TSDF marching-cubes mesher)")
+        return None
+    if len(cloud) < 100:
+        return None
+    pcd = _to_o3d_cloud(cloud)
+    if cloud.normals is None:
+        pcd.estimate_normals()
+        pcd.orient_normals_consistent_tangent_plane(30)
+    mesh, densities = o3d.geometry.TriangleMesh.create_from_point_cloud_poisson(
+        pcd, depth=depth)
+    densities = np.asarray(densities)
+    keep = densities >= np.quantile(densities, density_quantile)
+    mesh.remove_vertices_by_mask(~keep)
+    return _from_o3d_mesh(mesh)
+
+
+def ball_pivot_mesh_from_cloud(cloud: PointCloudHost,
+                               radii=(0.005, 0.01, 0.02, 0.04)
+                               ) -> Optional[TriangleMeshHost]:
+    """Ball-pivoting fallback with the reference's radius ladder
+    (CodeThatKindaWorks/PointCloudToMesh.py:146)."""
+    o3d = _o3d()
+    if o3d is None:
+        log_warning("open3d not installed; ball pivoting unavailable")
+        return None
+    if len(cloud) < 100:
+        return None
+    pcd = _to_o3d_cloud(cloud)
+    if cloud.normals is None:
+        pcd.estimate_normals()
+    mesh = o3d.geometry.TriangleMesh.create_from_point_cloud_ball_pivoting(
+        pcd, o3d.utility.DoubleVector(list(radii)))
+    return _from_o3d_mesh(mesh)
+
+
+def mesh_with_fallback(cloud: PointCloudHost, **kw) -> Optional[TriangleMeshHost]:
+    """Poisson -> ball-pivot fallback chain (reference
+    BetterVisualizerD2camerasWorks1Cam.py:426-444)."""
+    mesh = poisson_mesh_from_cloud(cloud, **kw)
+    if mesh is None or mesh.triangles.shape[0] == 0:
+        mesh = ball_pivot_mesh_from_cloud(cloud)
+    return mesh

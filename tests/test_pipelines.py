@@ -1,0 +1,182 @@
+"""End-to-end pipeline tests on synthetic scenes (headless, CPU)."""
+
+import numpy as np
+import pytest
+
+from azurekinect3dreconstruction_tpu.config import (
+    OdometryConfig,
+    PipelineConfig,
+    RegistrationConfig,
+    TSDFConfig,
+)
+from azurekinect3dreconstruction_tpu.core import se3
+from azurekinect3dreconstruction_tpu.core.camera import Intrinsics
+from azurekinect3dreconstruction_tpu.io.synthetic import (
+    Scene,
+    Sphere,
+    SyntheticCamera,
+    orbit_trajectory,
+)
+
+SMALL_CFG = PipelineConfig(
+    tsdf=TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, block_resolution=8,
+                    block_capacity=2048, hash_capacity=8192),
+    odometry=OdometryConfig(pyramid_iters=(8, 8, 8)),
+    registration=RegistrationConfig(ransac_hypotheses=1024, icp_max_iters=20,
+                                    colored_icp_max_iters=30),
+    keyframe_interval=1,
+    vis_update_interval=2,
+)
+
+
+@pytest.fixture(scope="module")
+def cam():
+    return SyntheticCamera(intrinsics=Intrinsics.azure_kinect_depth_nfov().scaled(0.25))
+
+
+def test_mono_odometry_tsdf_tracks_and_reconstructs(cam):
+    from azurekinect3dreconstruction_tpu.pipelines import MonoOdometryTSDF
+
+    pipe = MonoOdometryTSDF(cam.intrinsics, SMALL_CFG, backend="xla")
+    poses = orbit_trajectory(6, radius=0.25, angle_span=0.5)
+    for T in poses:
+        d, c = cam.capture(T)
+        pipe.process_frame(d, c)
+    # estimated relative trajectory should track the true one
+    T_est = pipe.trajectory[-1]
+    # align: both trajectories start at their own identity; compare relative
+    T_true_rel = np.linalg.inv(poses[0]) @ poses[-1]
+    err = np.asarray(se3.se3_log(
+        np.linalg.inv(T_true_rel) @ T_est)).astype(float)
+    assert np.linalg.norm(err[:3]) < 0.03
+    assert np.linalg.norm(err[3:]) < 0.05
+    mesh = pipe.extract_mesh(max_cells=65536, max_tris=131072)
+    assert int(mesh.num_triangles) > 500
+    # reset clears everything
+    pipe.reset()
+    assert int(pipe.volume.n_blocks) == 0
+
+
+def test_mono_mesh_accuracy_on_sphere():
+    from azurekinect3dreconstruction_tpu.pipelines import MonoOdometryTSDF
+
+    scene = Scene(spheres=(Sphere((0.0, 0.0, 1.2), 0.3, (0.9, 0.3, 0.2)),))
+    cam = SyntheticCamera(scene=scene,
+                          intrinsics=Intrinsics.azure_kinect_depth_nfov().scaled(0.25))
+    pipe = MonoOdometryTSDF(cam.intrinsics, SMALL_CFG, backend="xla")
+    for T in orbit_trajectory(6, radius=0.3, center=(0, 0, 1.2), angle_span=0.8):
+        d, c = cam.capture(T)
+        pipe.process_frame(d, c)
+    # world frame == first camera frame; the sphere sits at its true place
+    mesh = pipe.extract_mesh(max_cells=65536, max_tris=131072)
+    nt = int(mesh.num_triangles)
+    v = np.asarray(mesh.vertices)[: 3 * nt]
+    # restrict to vertices near the analytic sphere (the scene has no floor)
+    c0 = np.linalg.inv(pipe.trajectory[0])  # identity
+    d_sphere = np.linalg.norm(v - np.array([0, 0, 1.2]), axis=1) - 0.3
+    rmse = float(np.sqrt((d_sphere**2).mean()))
+    assert rmse < 2 * SMALL_CFG.tsdf.voxel_size, f"tracked-mesh RMSE {rmse}"
+
+
+def test_recorder_pipeline(cam, tmp_path):
+    from azurekinect3dreconstruction_tpu.pipelines import Recorder
+
+    pipe = Recorder(cam.intrinsics, SMALL_CFG, backend="xla",
+                    output_dir=str(tmp_path))
+    pipe.toggle_recording()
+    poses = orbit_trajectory(4, radius=0.2, angle_span=0.3)
+    for T in poses:
+        d, c = cam.capture(T)
+        pipe.process_frame(d, c)
+    assert int(pipe.volume.n_blocks) > 50
+    T_true_rel = np.linalg.inv(poses[0]) @ poses[-1]
+    err = np.asarray(se3.se3_log(np.linalg.inv(T_true_rel) @ pipe.T_world_cam))
+    assert np.linalg.norm(err[:3]) < 0.05
+    paths = pipe.save_model()
+    import os
+
+    for p in paths.values():
+        assert os.path.exists(p)
+
+
+def test_dual_fusion_autocalibration(cam, tmp_path):
+    from azurekinect3dreconstruction_tpu.pipelines import DualCameraFusion
+
+    # camera 1 offset from camera 0 by a known baseline
+    xi = np.array([0.12, 0.03, -0.02, 0.05, -0.12, 0.04])
+    T1 = np.asarray(se3.se3_exp(xi))
+    pipe = DualCameraFusion((cam.intrinsics, cam.intrinsics), SMALL_CFG,
+                            backend="xla", output_dir=str(tmp_path))
+    d0, c0 = cam.capture(np.eye(4))
+    d1, c1 = cam.capture(T1)
+    pipe.process_frames(((d0, c0), (d1, c1)))
+    assert pipe.calibrated, "auto-calibration must succeed on overlapping views"
+    err = np.asarray(se3.se3_log(np.linalg.inv(T1) @ pipe.extrinsics[1]))
+    assert np.linalg.norm(err[:3]) < 0.02, f"extrinsic terr {err[:3]}"
+    assert np.linalg.norm(err[3:]) < 0.03
+    cloud = pipe.merged_cloud()
+    assert len(cloud) > 1000
+    # color modes cycle
+    assert pipe.cycle_color_mode() == "depth_gradient"
+    cloud2 = pipe.merged_cloud()
+    assert len(cloud2) > 1000
+    paths = pipe.save_current_state()
+    assert "mesh" in paths
+
+
+def test_offline_bundle_loop_and_reintegrate(cam, tmp_path):
+    from azurekinect3dreconstruction_tpu.pipelines import OfflineBundle
+
+    pipe = OfflineBundle(cam.intrinsics, SMALL_CFG, output_dir=str(tmp_path),
+                         backend="xla", loop_min_gap=4, loop_radius=1.0,
+                         loop_check_interval=4, checkpoint_interval=4)
+    # out-and-back trajectory so a loop closure exists
+    fwd = orbit_trajectory(4, radius=0.2, angle_span=0.4)
+    poses = fwd + fwd[::-1]
+    for T in poses:
+        d, c = cam.capture(T)
+        pipe.process_frame(d, c)
+    assert pipe.n_frames == len(poses)
+    mesh = pipe.finalize()
+    assert mesh is not None and mesh.triangles.shape[0] > 200
+    # the optimized end pose must sit near the start (returned trajectory)
+    p_end = pipe.graph.nodes[-1][:3, 3]
+    p_start = pipe.graph.nodes[0][:3, 3]
+    true_gap = np.linalg.norm(fwd[0][:3, 3] - fwd[0][:3, 3])
+    assert np.linalg.norm(p_end - p_start) < 0.05
+    # resume from the frame log reproduces the node count
+    resumed = OfflineBundle.resume(cam.intrinsics, str(tmp_path), SMALL_CFG,
+                                   backend="xla", loop_min_gap=4,
+                                   loop_radius=1.0, loop_check_interval=4)
+    assert resumed.n_frames == len(poses)
+
+
+def test_fragment_pipeline(cam):
+    from azurekinect3dreconstruction_tpu.pipelines import FragmentPipeline
+
+    pipe = FragmentPipeline(cam.intrinsics, SMALL_CFG, backend="xla")
+    poses = orbit_trajectory(3, radius=0.15, angle_span=0.25)
+    for T in poses:
+        d, c = cam.capture(T)
+        pipe.capture(d, c)
+    mesh = pipe.run()
+    assert mesh.triangles.shape[0] > 200
+    # fragment poses should match the true relative motions
+    for i, frag in enumerate(pipe.fragments):
+        T_true = np.linalg.inv(poses[0]) @ poses[i]
+        err = np.asarray(se3.se3_log(np.linalg.inv(T_true) @ frag.pose))
+        assert np.linalg.norm(err[:3]) < 0.03
+
+
+def test_cloud_accumulator(cam, tmp_path):
+    from azurekinect3dreconstruction_tpu.pipelines import CloudAccumulator
+
+    pipe = CloudAccumulator(cam.intrinsics, SMALL_CFG, output_dir=str(tmp_path))
+    for T in orbit_trajectory(4, radius=0.2, angle_span=0.3):
+        d, c = cam.capture(T)
+        pipe.process_frame(d, c)
+    assert pipe.model_points.shape[0] > 2000
+    paths = pipe.save_model()
+    import os
+
+    assert os.path.exists(paths["pointcloud"])
