@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Standalone PLY -> mesh converter.
+
+Entry-point parity: reference CodeThatKindaWorks/PointCloudToMesh.py —
+preprocess (downsample + outlier removal + normals) then Poisson with
+density-quantile culling, falling back to ball pivoting.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import jax.numpy as jnp
+import numpy as np
+
+from azurekinect3dreconstruction_tpu.core.types import PointCloudHost
+from azurekinect3dreconstruction_tpu.meshing.poisson import mesh_with_fallback
+from azurekinect3dreconstruction_tpu.ops.neighbors import (
+    estimate_normals_knn,
+    remove_statistical_outliers,
+    voxel_downsample_arrays,
+)
+from azurekinect3dreconstruction_tpu.utils.telemetry import log_error, log_info
+from azurekinect3dreconstruction_tpu.viz.savers import read_ply, write_ply_mesh
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("input", help="input .ply point cloud")
+    ap.add_argument("output", nargs="?", default=None, help="output .ply mesh")
+    ap.add_argument("--voxel", type=float, default=0.01)
+    ap.add_argument("--depth", type=int, default=9, help="Poisson depth")
+    args = ap.parse_args()
+
+    verts, cols, _ = read_ply(args.input)
+    if verts is None or not len(verts):
+        log_error(f"no points in {args.input}")
+        raise SystemExit(1)
+    n = verts.shape[0]
+    log_info(f"loaded {n} points")
+
+    mask = jnp.ones((n,), bool)
+    dp, dm, dc, _ = voxel_downsample_arrays(
+        jnp.asarray(verts), mask, args.voxel, 1 << max(12, (n - 1).bit_length()),
+        colors=None if cols is None else jnp.asarray(cols))
+    dm = remove_statistical_outliers(dp, dm, k=16, radius=3 * args.voxel)
+    centroid = verts.mean(0) + np.array([0, 0, -2.0], np.float32)
+    nr = estimate_normals_knn(dp, dm, radius=3 * args.voxel, k=16, orient_to=centroid)
+    m = np.asarray(dm)
+    cloud = PointCloudHost(points=np.asarray(dp)[m],
+                           colors=None if dc is None else np.asarray(dc)[m],
+                           normals=np.asarray(nr)[m])
+    log_info(f"preprocessed -> {len(cloud)} points")
+
+    mesh = mesh_with_fallback(cloud, depth=args.depth)
+    if mesh is None:
+        log_error("meshing unavailable (open3d not installed); wrote nothing")
+        raise SystemExit(1)
+    out = args.output or args.input.replace(".ply", "_mesh.ply")
+    write_ply_mesh(out, mesh)
+    log_info(f"wrote {out} ({mesh.triangles.shape[0]} triangles)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Two-camera fusion with auto-calibration.
+
+Entry-point parity: reference BetterVisualizer2CamWorksROTATEsave2.py
+(== CreateMesh.py) and family — capture threads per camera, FPFH+RANSAC
+one-shot extrinsic calibration, merged downsampled cloud, keys: S save,
+R recalibrate, C cycle color mode. For --source synthetic, camera 1 is a
+rendered second viewpoint with a fixed ground-truth baseline (the reference
+author's own simulated-second-camera idea, CreateMesh.py:548-551).
+"""
+
+import argparse
+
+import numpy as np
+
+from common import add_common_args, make_viewer
+
+from azurekinect3dreconstruction_tpu.config import PipelineConfig, TSDFConfig
+from azurekinect3dreconstruction_tpu.core import se3
+from azurekinect3dreconstruction_tpu.core.camera import Intrinsics
+from azurekinect3dreconstruction_tpu.io.streams import MultiCameraRig
+from azurekinect3dreconstruction_tpu.io.synthetic import SyntheticCamera, orbit_trajectory
+from azurekinect3dreconstruction_tpu.pipelines import DualCameraFusion
+from azurekinect3dreconstruction_tpu.utils.telemetry import log_info
+
+
+def synthetic_pair_frames(args, intr):
+    import jax.numpy as jnp
+
+    cam = SyntheticCamera(intrinsics=intr)
+    T1 = np.asarray(se3.se3_exp(jnp.asarray([0.15, 0.02, -0.03, 0.04, -0.15, 0.02],
+                                            jnp.float32)), np.float64)
+    for T in orbit_trajectory(args.frames, radius=0.2, angle_span=0.4):
+        yield (cam.capture(T), cam.capture(T @ T1))
+
+
+def k4a_pair_frames(args):
+    from azurekinect3dreconstruction_tpu.io.k4a_live import K4ALiveSource, detect_cameras
+
+    ids = detect_cameras()
+    if len(ids) < 2:
+        raise SystemExit("need two Azure Kinect devices for --source k4a")
+    sources = [K4ALiveSource(device_id=i) for i in ids[:2]]
+    rig = MultiCameraRig([s.capture for s in sources])
+    rig.start()
+    rig.install_sigint_handler()
+    try:
+        n = 0
+        while args.frames == 0 or n < args.frames:
+            frames = rig.get_synchronized_frames()
+            if frames is None:
+                continue
+            yield tuple(frames)
+            n += 1
+    finally:
+        rig.stop()
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_common_args(ap)
+    ap.add_argument("--voxel", type=float, default=0.01)
+    args = ap.parse_args()
+
+    intr = Intrinsics.azure_kinect_depth_nfov().scaled(args.scale)
+    cfg = PipelineConfig(tsdf=TSDFConfig(voxel_size=args.voxel,
+                                         sdf_trunc=4 * args.voxel))
+    pipe = DualCameraFusion((intr, intr), cfg, backend=args.backend,
+                            output_dir=args.output)
+    viewer = make_viewer(args, "dual-camera fusion")
+    viewer.register_key("S", pipe.save_current_state, "save cloud + mesh")
+    viewer.register_key("R", pipe.recalibrate, "recalibrate extrinsics (ICP)")
+    viewer.register_key("C", pipe.cycle_color_mode, "cycle color mode")
+
+    if args.source.startswith("k4a"):
+        frames = k4a_pair_frames(args)
+    else:
+        frames = synthetic_pair_frames(args, intr)
+
+    for i, pair in enumerate(frames):
+        pipe.process_frames(pair)
+        if i % cfg.vis_update_interval == 0 and not viewer.headless:
+            viewer.update_cloud("merged", pipe.merged_cloud())
+        if not viewer.tick():
+            break
+    pipe.save_current_state()
+    viewer.close()
+    if pipe.calibrated:
+        r, p, y = se3.rpy_from_matrix(pipe.extrinsics[1][:3, :3])
+        log_info(f"final extrinsic rpy deg: {np.degrees([r, p, y])}")
+
+
+if __name__ == "__main__":
+    main()

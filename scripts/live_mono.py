@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Live single-camera odometry + TSDF streamer.
+
+Entry-point parity: reference CodeThatWorks/1camera-detectsSceneChanges.py —
+per-frame odometry tracks camera motion, the TSDF fuses every frame, the
+surface re-renders periodically; keys: C reset volume, S save, M toggle
+mesh/point-cloud display.
+"""
+
+import argparse
+
+from common import add_common_args, make_source, make_viewer
+
+from azurekinect3dreconstruction_tpu.config import PipelineConfig, TSDFConfig
+from azurekinect3dreconstruction_tpu.core.types import PointCloudHost
+from azurekinect3dreconstruction_tpu.pipelines import MonoOdometryTSDF
+from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf
+from azurekinect3dreconstruction_tpu.tsdf.marching_cubes import weld_vertices
+from azurekinect3dreconstruction_tpu.utils.telemetry import log_info
+from azurekinect3dreconstruction_tpu.viz.savers import ResultSaver
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_common_args(ap)
+    ap.add_argument("--voxel", type=float, default=0.01, help="TSDF voxel (m)")
+    args = ap.parse_args()
+
+    frames, intr = make_source(args)
+    cfg = PipelineConfig(
+        tsdf=TSDFConfig(voxel_size=args.voxel, sdf_trunc=4 * args.voxel),
+    )
+    pipe = MonoOdometryTSDF(intr, cfg, backend=args.backend)
+    viewer = make_viewer(args, "mono odometry+TSDF")
+    saver = ResultSaver(args.output)
+    state = {"mesh_mode": False}
+
+    def save():
+        mesh = weld_vertices(pipe.extract_mesh().compact())
+        mesh.compute_vertex_normals()
+        saver.save_mesh(mesh, kind="mesh")
+        pts, cols = pipe.extract_point_cloud()
+        saver.save_point_cloud(PointCloudHost(points=pts, colors=cols),
+                               kind="volume_pcd")
+        saver.save_trajectory(pipe.trajectory)
+        log_info("saved mesh + cloud + trajectory")
+
+    viewer.register_key("C", pipe.reset, "reset volume (scene change)")
+    viewer.register_key("S", save, "save mesh/cloud/trajectory")
+    viewer.register_key(
+        "M", lambda: state.update(mesh_mode=not state["mesh_mode"]),
+        "toggle mesh / point-cloud display")
+
+    for i, (depth, color) in enumerate(frames):
+        pipe.process_frame(depth, color)
+        if i % pipe.cfg.vis_update_interval == 0 and not viewer.headless:
+            if state["mesh_mode"]:
+                viewer.update_mesh("surface", pipe.extract_mesh().compact())
+            else:
+                pts, cols = pipe.extract_point_cloud(max_points=200000)
+                viewer.update_cloud("surface", PointCloudHost(points=pts, colors=cols))
+        if not viewer.tick():
+            break
+    save()
+    viewer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Offline result browsers.
+
+Entry-point parity for three reference viewers:
+  --mode choose  : ChooseReconstruction.py (list results, pick, view)
+  --mode latest  : LastReconstructionVisualizer.py (newest .ply)
+  --mode mesh    : MeshReconstructionVisualizer.py (newest mesh .ply/.obj)
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+from azurekinect3dreconstruction_tpu.utils.telemetry import log_info, log_warning
+from azurekinect3dreconstruction_tpu.viz.browsers import (
+    ReconstructionBrowser,
+    load_latest_mesh,
+    load_latest_reconstruction,
+)
+from azurekinect3dreconstruction_tpu.viz.o3d_bridge import view_geometry
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", choices=["choose", "latest", "mesh"], default="latest")
+    ap.add_argument("--dir", default="results")
+    ap.add_argument("--list-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.mode == "choose":
+        browser = ReconstructionBrowser(args.dir)
+        if args.list_only:
+            browser.list()
+        else:
+            browser.run_interactive()
+        return
+    if args.mode == "latest":
+        hit = load_latest_reconstruction(args.dir)
+        if hit is None:
+            return
+        path, kind = hit
+        log_info(f"newest result: {path} ({kind})")
+    else:
+        path = load_latest_mesh(args.dir)
+        if path is None:
+            log_warning("no mesh results")
+            return
+        log_info(f"newest mesh: {path}")
+    if not args.list_only:
+        view_geometry(path)
+
+
+if __name__ == "__main__":
+    main()
