@@ -1,0 +1,5 @@
+from azurekinect3dreconstruction_tpu.meshing.poisson import (
+    ball_pivot_mesh_from_cloud,
+    mesh_with_fallback,
+    poisson_mesh_from_cloud,
+)

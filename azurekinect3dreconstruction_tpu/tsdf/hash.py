@@ -31,9 +31,11 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-EMPTY_KEY = jnp.int32(-1)
+# plain ints (NOT jnp scalars): creating a jax array at import time would
+# initialize the default backend before applications can choose one
+EMPTY_KEY = -1
 #: lookup miss marker in value arrays
-MISS = jnp.int32(-1)
+MISS = -1
 
 _COORD_BITS = 10
 _COORD_OFFSET = 1 << (_COORD_BITS - 1)  # 512

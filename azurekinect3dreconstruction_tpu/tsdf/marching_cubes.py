@@ -42,11 +42,13 @@ from azurekinect3dreconstruction_tpu.tsdf import mc_tables as mt
 from azurekinect3dreconstruction_tpu.tsdf import hash as vhash
 from azurekinect3dreconstruction_tpu.tsdf.volume import TSDFVolume
 
-_TRI_TABLE = jnp.asarray(mt.TRI_TABLE)  # (256, 15)
-_TRI_COUNT = jnp.asarray(mt.TRI_COUNT)  # (256,)
-_EDGE_A = jnp.asarray(mt.EDGE_ENDPOINTS[:, 0])  # (12,)
-_EDGE_B = jnp.asarray(mt.EDGE_ENDPOINTS[:, 1])
-_CORNERS = jnp.asarray(mt.CORNER_OFFSETS)  # (8, 3)
+# numpy constants (jnp.asarray at import would pin the default backend);
+# they are closed over by jitted functions and constant-folded there
+_TRI_TABLE = np.asarray(mt.TRI_TABLE)  # (256, 15)
+_TRI_COUNT = np.asarray(mt.TRI_COUNT)  # (256,)
+_EDGE_A = np.asarray(mt.EDGE_ENDPOINTS[:, 0])  # (12,)
+_EDGE_B = np.asarray(mt.EDGE_ENDPOINTS[:, 1])
+_CORNERS = np.asarray(mt.CORNER_OFFSETS)  # (8, 3)
 
 EXTRACT_SIZES = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
@@ -146,7 +148,7 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
         case = case | (corner_view(inside, k).astype(jnp.int32) << k)
         all_valid = all_valid & corner_view(validc, k)
 
-    ntri = jnp.where(all_valid & alive[:, None, None, None], _TRI_COUNT[case], 0)
+    ntri = jnp.where(all_valid & alive[:, None, None, None], jnp.asarray(_TRI_COUNT)[case], 0)
 
     ntri_flat = ntri.reshape(-1)
     offsets = jnp.cumsum(ntri_flat) - ntri_flat  # exclusive prefix sum
@@ -195,7 +197,7 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     mcase = jnp.zeros(b.shape, jnp.int32)
     for k in range(8):
         mcase = mcase | ((vals[:, k] < 0.0).astype(jnp.int32) << k)
-    mntri = jnp.where(live, _TRI_COUNT[mcase], 0)
+    mntri = jnp.where(live, jnp.asarray(_TRI_COUNT)[mcase], 0)
 
     va = vals[:, _EDGE_A]  # (M, 12)
     vb = vals[:, _EDGE_B]
@@ -211,7 +213,7 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     cb = cols[:, _EDGE_B]
     ecol = ca + frac[..., None] * (cb - ca)
 
-    tri_edges = _TRI_TABLE[mcase]  # (M, 15)
+    tri_edges = jnp.asarray(_TRI_TABLE)[mcase]  # (M, 15)
     # edge-id -> position/color select WITHOUT per-lane gathers (TPU gathers
     # cost ~25 ns/element; a 12-term masked sum is pure VPU and ~100x cheaper)
     te = tri_edges[:, :, None]  # (M, 15, 1)

@@ -1,0 +1,6 @@
+from azurekinect3dreconstruction_tpu.utils.telemetry import (
+    Telemetry,
+    log_error,
+    log_info,
+    log_warning,
+)

@@ -1,0 +1,14 @@
+from azurekinect3dreconstruction_tpu.viz.browsers import (
+    ReconstructionBrowser,
+    list_results,
+    load_latest_mesh,
+    load_latest_reconstruction,
+)
+from azurekinect3dreconstruction_tpu.viz.o3d_bridge import LiveViewer, view_geometry
+from azurekinect3dreconstruction_tpu.viz.savers import (
+    ResultSaver,
+    read_ply,
+    write_obj_mesh,
+    write_ply_mesh,
+    write_ply_point_cloud,
+)
