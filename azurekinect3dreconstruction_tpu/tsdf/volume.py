@@ -308,3 +308,66 @@ def memory_bytes(cfg: TSDFConfig) -> int:
     """HBM footprint of a volume with this config."""
     n, r3 = cfg.block_capacity, cfg.block_resolution**3
     return n * r3 * 4 * (1 + 1 + 3) + cfg.hash_capacity * 8 + n * 12
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_points", "extract_blocks"))
+def extract_point_cloud_device(vol: TSDFVolume, cfg: TSDFConfig,
+                               max_points: int = 65536,
+                               extract_blocks: int = None):
+    """Device-side surface points by zero-crossing along +x/+y/+z.
+
+    Returns (points (max_points, 3), colors (max_points, 3), mask) — all on
+    device, fixed capacity, so frame-to-model tracking (reference
+    InitialReconstruction-CUDA-2cam:653-674) can run without a host round
+    trip: feed the result straight into tracking.icp.icp_projective against
+    the current frame.
+    """
+    R = cfg.block_resolution
+    N = vol.tsdf.shape[0]
+    E = min(extract_blocks or N, N)
+    t4 = vol.tsdf[:E].reshape(E, R, R, R)
+    w4 = vol.weight[:E].reshape(E, R, R, R)
+    c4 = vol.color[:E].reshape(E, 3, R, R, R)
+    coords = vol.block_coords[:E]
+    alive = (jax.lax.broadcasted_iota(jnp.int32, (E, 1, 1, 1), 0) < vol.n_blocks)
+
+    pts_parts, col_parts, m_parts = [], [], []
+    for axis in range(3):
+        sl_a = [slice(None)] * 4
+        sl_b = [slice(None)] * 4
+        sl_a[axis + 1] = slice(0, R - 1)
+        sl_b[axis + 1] = slice(1, R)
+        t0 = t4[tuple(sl_a)]
+        t1 = t4[tuple(sl_b)]
+        w0 = w4[tuple(sl_a)]
+        w1 = w4[tuple(sl_b)]
+        cross = (w0 > 0) & (w1 > 0) & (jnp.sign(t0) != jnp.sign(t1)) & (t0 != 0)
+        cross = cross & alive[:, : cross.shape[1], : cross.shape[2], : cross.shape[3]]
+        frac = t0 / jnp.where(jnp.abs(t0 - t1) > 1e-12, t0 - t1, 1e-12)
+        sh = t0.shape
+        ii = jax.lax.broadcasted_iota(jnp.int32, sh, 1).astype(jnp.float32)
+        jj = jax.lax.broadcasted_iota(jnp.int32, sh, 2).astype(jnp.float32)
+        kk = jax.lax.broadcasted_iota(jnp.int32, sh, 3).astype(jnp.float32)
+        base = coords[:, None, None, None, :].astype(jnp.float32) * R
+        local = jnp.stack([ii, jj, kk], -1) + 0.5
+        local = local.at[..., axis].add(jnp.clip(frac, 0.0, 1.0))
+        p = (base + local) * cfg.voxel_size
+        csel_a = [slice(None), slice(None)] + sl_a[1:]
+        csel_b = [slice(None), slice(None)] + sl_b[1:]
+        c0 = c4[tuple(csel_a)]
+        c1 = c4[tuple(csel_b)]
+        cmix = c0 + jnp.clip(frac, 0, 1)[:, None] * (c1 - c0)  # (E,3,...)
+        pts_parts.append(p.reshape(-1, 3))
+        col_parts.append(jnp.moveaxis(cmix, 1, -1).reshape(-1, 3))
+        m_parts.append(cross.reshape(-1))
+
+    pts = jnp.concatenate(pts_parts)
+    cols = jnp.concatenate(col_parts)
+    m = jnp.concatenate(m_parts)
+    order = jnp.cumsum(m.astype(jnp.int32)) - 1
+    dst = jnp.where(m & (order < max_points), order, max_points)
+    out_p = jnp.zeros((max_points + 1, 3), jnp.float32).at[dst].set(pts, mode="drop")
+    out_c = jnp.zeros((max_points + 1, 3), jnp.float32).at[dst].set(cols, mode="drop")
+    n = jnp.minimum(order[-1] + 1, max_points)
+    mask = jax.lax.broadcasted_iota(jnp.int32, (max_points, 1), 0)[:, 0] < n
+    return out_p[:max_points], out_c[:max_points], mask

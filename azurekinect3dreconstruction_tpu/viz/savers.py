@@ -27,6 +27,15 @@ def _timestamp() -> str:
 
 
 def write_ply_point_cloud(path: str, cloud: PointCloudHost, binary: bool = True) -> None:
+    if binary:
+        # fast path: the C++ writer (native/kinrt.cpp) when built
+        from azurekinect3dreconstruction_tpu.io import native
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if native.is_available() and native.write_ply_points_native(
+            path, np.asarray(cloud.points, np.float32), cloud.colors, cloud.normals
+        ):
+            return
     pts = np.asarray(cloud.points, np.float32)
     n = pts.shape[0]
     has_color = cloud.colors is not None
@@ -65,6 +74,15 @@ def write_ply_point_cloud(path: str, cloud: PointCloudHost, binary: bool = True)
 
 
 def write_ply_mesh(path: str, mesh: TriangleMeshHost, binary: bool = True) -> None:
+    if binary and mesh.vertex_normals is None:
+        from azurekinect3dreconstruction_tpu.io import native
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if native.is_available() and native.write_ply_mesh_native(
+            path, np.asarray(mesh.vertices, np.float32),
+            np.asarray(mesh.triangles, np.int32), mesh.vertex_colors
+        ):
+            return
     v = np.asarray(mesh.vertices, np.float32)
     t = np.asarray(mesh.triangles, np.int32)
     has_color = mesh.vertex_colors is not None

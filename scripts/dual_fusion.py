@@ -15,7 +15,11 @@ import numpy as np
 
 from common import add_common_args, make_viewer
 
-from azurekinect3dreconstruction_tpu.config import PipelineConfig, TSDFConfig
+from azurekinect3dreconstruction_tpu.config import (
+    PipelineConfig,
+    RegistrationConfig,
+    TSDFConfig,
+)
 from azurekinect3dreconstruction_tpu.core import se3
 from azurekinect3dreconstruction_tpu.core.camera import Intrinsics
 from azurekinect3dreconstruction_tpu.io.streams import MultiCameraRig
@@ -63,8 +67,12 @@ def main():
     args = ap.parse_args()
 
     intr = Intrinsics.azure_kinect_depth_nfov().scaled(args.scale)
-    cfg = PipelineConfig(tsdf=TSDFConfig(voxel_size=args.voxel,
-                                         sdf_trunc=4 * args.voxel))
+    cfg = PipelineConfig(
+        tsdf=TSDFConfig(voxel_size=args.voxel, sdf_trunc=4 * args.voxel),
+        # 2048 parallel hypotheses + ICP refinement match the reference's
+        # acceptance quality at a fraction of the compile/compute cost
+        registration=RegistrationConfig(ransac_hypotheses=2048),
+    )
     pipe = DualCameraFusion((intr, intr), cfg, backend=args.backend,
                             output_dir=args.output)
     viewer = make_viewer(args, "dual-camera fusion")

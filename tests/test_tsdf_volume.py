@@ -151,3 +151,43 @@ def test_reset_clears_state(sphere_cam):
     vol = tsdf.reset(CFG)
     assert int(vol.n_blocks) == 0
     assert float(jnp.sum(vol.weight)) == 0.0
+
+
+def test_device_point_extraction_and_frame_to_model_icp():
+    """extract_point_cloud_device feeds frame-to-model ICP with no host hop
+    (reference InitialReconstruction-CUDA-2cam:653-674 frame-to-model).
+
+    Needs a geometry-rich scene: a lone sphere is rotationally symmetric, so
+    point-to-plane ICP is gauge-free on it and slides tangentially.
+    """
+    import jax.numpy as jnp
+    from azurekinect3dreconstruction_tpu.core import se3
+    from azurekinect3dreconstruction_tpu.io.synthetic import orbit_trajectory
+    from azurekinect3dreconstruction_tpu.tracking.icp import TargetMaps, icp_projective
+
+    cam = SyntheticCamera(intrinsics=Intrinsics.azure_kinect_depth_nfov().scaled(0.25))
+    intr = cam.intrinsics
+    rays = pixel_rays(intr)
+    vol = tsdf.create(CFG)
+    poses = orbit_trajectory(4, radius=0.25, angle_span=0.5)
+    for T in poses:
+        z, c = cam.render(np.asarray(T, np.float32))
+        vol = tsdf.integrate_frame(vol, z, c, rays, np.asarray(T, np.float32),
+                                   intr, CFG)
+    mp, mc_, mm = tsdf.extract_point_cloud_device(vol, CFG, max_points=16384)
+    assert int(np.asarray(mm).sum()) > 300
+
+    # a new frame from a slightly moved camera; find its pose from the model
+    xi = np.array([0.015, -0.01, 0.01, 0.015, -0.01, 0.01])
+    T_new = poses[0] @ np.asarray(se3.se3_exp(jnp.asarray(xi, jnp.float32)), np.float64)
+    z, c = cam.render(np.asarray(T_new, np.float32))
+    maps = TargetMaps.from_depth(z, intr, rays=rays)
+    # model (world) -> frame: init with the previous camera pose inverse
+    init = np.linalg.inv(poses[0])
+    res = icp_projective(mp, mm, maps, intr, init=jnp.asarray(init, jnp.float32),
+                         max_iters=25, dist_thr=0.08)
+    T_wc_est = np.linalg.inv(np.asarray(res.T, np.float64))
+    err = np.asarray(se3.se3_log(jnp.asarray(
+        np.linalg.inv(T_new) @ T_wc_est, jnp.float32)))
+    assert np.linalg.norm(err[:3]) < 0.01, f"frame-to-model terr {err[:3]}"
+    assert np.linalg.norm(err[3:]) < 0.02
