@@ -56,7 +56,9 @@ class TSDFConfig:
     block_capacity: int = 8192  # max resident blocks (16^3 voxels each)
     hash_capacity: int = 32768  # open-addressing table slots (>= 2x capacity, pow2)
     max_integration_weight: float = 64.0  # running-average clamp
-    space_carving: bool = False  # free-space carving on integrate
+    # note: free-space carving needs no flag here — every allocated voxel in
+    # front of the surface (sdf > sdf_trunc) is already driven toward +1 by
+    # the band update rule (sdf > -sdf_trunc), matching Open3D
 
     def __post_init__(self):
         if self.hash_capacity & (self.hash_capacity - 1):

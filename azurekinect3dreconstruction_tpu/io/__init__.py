@@ -4,6 +4,11 @@ from azurekinect3dreconstruction_tpu.io.replay import (
     NpzReplaySource,
     SyntheticSource,
 )
+from azurekinect3dreconstruction_tpu.io.streams import (
+    CaptureThread,
+    DeviceFeeder,
+    MultiCameraRig,
+)
 from azurekinect3dreconstruction_tpu.io.synthetic import (
     Plane,
     Scene,
@@ -13,7 +18,10 @@ from azurekinect3dreconstruction_tpu.io.synthetic import (
 )
 
 __all__ = [
+    "CaptureThread",
+    "DeviceFeeder",
     "FrameRecorder",
+    "MultiCameraRig",
     "FrameSource",
     "NpzReplaySource",
     "Plane",

@@ -51,6 +51,24 @@ def main():
         "M", lambda: state.update(mesh_mode=not state["mesh_mode"]),
         "toggle mesh / point-cloud display")
 
+    # live depth-decoding tuning (reference CreateMesh.py:470-501): depth
+    # scale +-100 units/m, truncation +-0.5 m; takes effect next frame (the
+    # parameters enter the jitted path as traced scalars, no recompile)
+    def tune(scale_d=0.0, trunc_d=0.0):
+        cam_cfg = pipe.cfg.camera
+        pipe.cfg = pipe.cfg.__class__(
+            **{**pipe.cfg.__dict__,
+               "camera": cam_cfg.replace(
+                   depth_scale=max(cam_cfg.depth_scale + scale_d, 100.0),
+                   depth_trunc=max(cam_cfg.depth_trunc + trunc_d, 0.5))})
+        log_info(f"depth_scale {pipe.cfg.camera.depth_scale:.0f} "
+                 f"depth_trunc {pipe.cfg.camera.depth_trunc:.2f}")
+
+    viewer.register_key("=", lambda: tune(scale_d=+100), "depth scale +100")
+    viewer.register_key("-", lambda: tune(scale_d=-100), "depth scale -100")
+    viewer.register_key("]", lambda: tune(trunc_d=+0.5), "depth trunc +0.5m")
+    viewer.register_key("[", lambda: tune(trunc_d=-0.5), "depth trunc -0.5m")
+
     for i, (depth, color) in enumerate(frames):
         pipe.process_frame(depth, color)
         if i % pipe.cfg.vis_update_interval == 0 and not viewer.headless:
