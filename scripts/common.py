@@ -48,12 +48,18 @@ def add_common_args(ap: argparse.ArgumentParser) -> None:
                          "plugin that ignores JAX_PLATFORMS)")
 
 
-def make_source(args) -> Tuple[Iterator[Tuple[np.ndarray, np.ndarray]], Intrinsics]:
-    """Returns (frame iterator, depth intrinsics)."""
+def apply_backend_overrides(args) -> None:
+    """Honor --cpu before any jax computation runs (the image's sitecustomize
+    pins the axon TPU plugin, so the env var alone cannot force CPU)."""
     if getattr(args, "cpu", False):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+
+def make_source(args) -> Tuple[Iterator[Tuple[np.ndarray, np.ndarray]], Intrinsics]:
+    """Returns (frame iterator, depth intrinsics)."""
+    apply_backend_overrides(args)
     spec = args.source
     if spec == "synthetic":
         intr = Intrinsics.azure_kinect_depth_nfov().scaled(args.scale)

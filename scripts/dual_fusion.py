@@ -13,7 +13,7 @@ import argparse
 
 import numpy as np
 
-from common import add_common_args, make_viewer
+from common import add_common_args, apply_backend_overrides, make_viewer
 
 from azurekinect3dreconstruction_tpu.config import (
     PipelineConfig,
@@ -65,6 +65,7 @@ def main():
     add_common_args(ap)
     ap.add_argument("--voxel", type=float, default=0.01)
     args = ap.parse_args()
+    apply_backend_overrides(args)
 
     intr = Intrinsics.azure_kinect_depth_nfov().scaled(args.scale)
     cfg = PipelineConfig(
