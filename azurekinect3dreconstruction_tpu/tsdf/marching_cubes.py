@@ -148,24 +148,24 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
         case = case | (corner_view(inside, k).astype(jnp.int32) << k)
         all_valid = all_valid & corner_view(validc, k)
 
-    ntri = jnp.where(all_valid & alive[:, None, None, None], jnp.asarray(_TRI_COUNT)[case], 0)
-
-    ntri_flat = ntri.reshape(-1)
-    offsets = jnp.cumsum(ntri_flat) - ntri_flat  # exclusive prefix sum
-    total_tris = offsets[-1] + ntri_flat[-1]
+    # a cell has triangles iff its corners' signs are mixed: every case except
+    # 0 and 255 produces geometry — two compares, no table lookup, no gathers
+    active4 = all_valid & alive[:, None, None, None] & (case != 0) & (case != 255)
 
     # ---- stage B: compact active cells --------------------------------------
-    active = ntri_flat > 0
+    active = active4.reshape(-1)
     order = jnp.cumsum(active.astype(jnp.int32)) - 1
     n_active = order[-1] + 1
     dst = jnp.where(active & (order < max_cells), order, max_cells)
     wl_cell = jnp.full((max_cells,), -1, jnp.int32)
-    wl_off = jnp.zeros((max_cells,), jnp.int32)
     cell_ids = jax.lax.broadcasted_iota(jnp.int32, (E * C3, 1), 0)[:, 0]
     wl_cell = wl_cell.at[dst].set(cell_ids, mode="drop")
-    wl_off = wl_off.at[dst].set(offsets.astype(jnp.int32), mode="drop")
 
     # ---- stage C: emit -------------------------------------------------------
+    # LAYOUT RULE: the worklist axis M stays MINOR everywhere. TPU tiles the
+    # last two dims to (8, 128); an (M, 15, 3) array pads 3 -> 128 lanes (42x
+    # memory blowup — gigabytes at M = 1M). With shapes like (12, 3, M) the
+    # padding is negligible.
     live = wl_cell >= 0
     cid = jnp.where(live, wl_cell, 0)
     b = cid // C3
@@ -174,68 +174,100 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     cj = (rem // R) % R
     ck = rem % R
 
-    gi = ci[:, None] + _CORNERS[None, :, 0]  # (M, 8)
-    gj = cj[:, None] + _CORNERS[None, :, 1]
-    gk = ck[:, None] + _CORNERS[None, :, 2]
+    gi = _CORNERS[:, 0][:, None] + ci[None, :]  # (8, M)
+    gj = _CORNERS[:, 1][:, None] + cj[None, :]
+    gk = _CORNERS[:, 2][:, None] + ck[None, :]
     # flat-index gathers (single index vector) lower to simpler TPU gathers
     # than 4D advanced indexing
     P = R + 1
     tflat = tp.reshape(-1)
-    vals = tflat[((b[:, None] * P + gi) * P + gj) * P + gk]  # (M, 8)
+    vals = tflat[((b[None, :] * P + gi) * P + gj) * P + gk]  # (8, M)
 
     code = ((gi == R).astype(jnp.int32)
             + 2 * (gj == R).astype(jnp.int32)
             + 4 * (gk == R).astype(jnp.int32))
-    cslot = nbr[b[:, None], code]
+    cslot = nbr[b[None, :], code]
     cslot = jnp.where(cslot >= 0, cslot, 0)
     clin = (gi % R) * R * R + (gj % R) * R + (gk % R)
-    cfl = vol.color[:E].reshape(-1)
+    # pack RGB into one f32 (exact for 24-bit ints) -> one gather, not three
     V = R * R * R
-    cidx = cslot * (3 * V) + clin
-    cols = jnp.stack([cfl[cidx], cfl[cidx + V], cfl[cidx + 2 * V]], axis=-1)  # (M,8,3)
+    cE = vol.color[:E]
+    packed = (jnp.round(cE[:, 0] * 255.0) * 65536.0
+              + jnp.round(cE[:, 1] * 255.0) * 256.0
+              + jnp.round(cE[:, 2] * 255.0)).reshape(-1)  # (E*V,)
+    pcol = packed[cslot * V + clin]  # (8, M)
+    pr = jnp.floor(pcol / 65536.0)
+    pg = jnp.floor((pcol - pr * 65536.0) / 256.0)
+    pb_ = pcol - pr * 65536.0 - pg * 256.0
+    cols = jnp.stack([pr, pg, pb_]) / 255.0  # (3, 8, M)
 
-    mcase = jnp.zeros(b.shape, jnp.int32)
+    mcase = jnp.zeros((max_cells,), jnp.int32)
     for k in range(8):
-        mcase = mcase | ((vals[:, k] < 0.0).astype(jnp.int32) << k)
-    mntri = jnp.where(live, jnp.asarray(_TRI_COUNT)[mcase], 0)
+        mcase = mcase | ((vals[k] < 0.0).astype(jnp.int32) << k)
 
-    va = vals[:, _EDGE_A]  # (M, 12)
-    vb = vals[:, _EDGE_B]
+    va = vals[_EDGE_A]  # (12, M)
+    vb = vals[_EDGE_B]
     denom = va - vb
     frac = va / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
     frac = jnp.clip(frac, 0.0, 1.0)
-    pa = _CORNERS[_EDGE_A].astype(jnp.float32)  # (12, 3)
-    pb = _CORNERS[_EDGE_B].astype(jnp.float32)
-    base = (coords[b] * R + jnp.stack([ci, cj, ck], -1)).astype(jnp.float32)
-    epos = (base[:, None, :] + 0.5 + pa[None] + frac[..., None] * (pb - pa)[None]
-            ) * cfg.voxel_size  # (M, 12, 3)
-    ca = cols[:, _EDGE_A]  # (M, 12, 3)
-    cb = cols[:, _EDGE_B]
-    ecol = ca + frac[..., None] * (cb - ca)
+    pa = _CORNERS[_EDGE_A].astype(np.float32)  # (12, 3)
+    pbt = _CORNERS[_EDGE_B].astype(np.float32)
+    cell0 = (coords[b].T * R + jnp.stack([ci, cj, ck])).astype(jnp.float32)  # (3, M)
+    epos = ((cell0[None] + 0.5 + pa[:, :, None]
+             + frac[:, None, :] * (pbt - pa)[:, :, None]) * cfg.voxel_size
+            )  # (12, 3, M)
+    ca = cols[:, _EDGE_A]  # (3, 12, M)
+    cb2 = cols[:, _EDGE_B]
+    ecol = jnp.swapaxes(ca + frac[None] * (cb2 - ca), 0, 1)  # (12, 3, M)
 
-    tri_edges = jnp.asarray(_TRI_TABLE)[mcase]  # (M, 15)
-    # edge-id -> position/color select WITHOUT per-lane gathers (TPU gathers
-    # cost ~25 ns/element; a 12-term masked sum is pure VPU and ~100x cheaper)
-    te = tri_edges[:, :, None]  # (M, 15, 1)
-    pos15 = jnp.zeros((max_cells, 15, 3), jnp.float32)
-    col15 = jnp.zeros((max_cells, 15, 3), jnp.float32)
-    for e in range(12):
-        sel = (te == e)
-        pos15 = pos15 + jnp.where(sel, epos[:, None, e, :], 0.0)
-        col15 = col15 + jnp.where(sel, ecol[:, None, e, :], 0.0)
+    # tri_edges = TRI_TABLE[mcase] without gathers: accumulate the (256, 15)
+    # table row by row with equality masks via fori_loop (O(1) live buffers)
+    tab16 = np.full((16, 256), -1, np.int32)
+    tab16[:15] = _TRI_TABLE.T
+    tab16_j = jnp.asarray(tab16)
 
-    verts = jnp.zeros((max_tris * 3, 3), jnp.float32)
-    vcols = jnp.zeros((max_tris * 3, 3), jnp.float32)
-    for t in range(mt.MAX_TRIS_PER_CELL):
-        emit = live & (t < mntri) & (wl_off + t < max_tris)
-        out = jnp.where(emit, (wl_off + t) * 3, max_tris * 3)
-        for v in range(3):
-            verts = verts.at[out + v].set(pos15[:, 3 * t + v], mode="drop")
-            vcols = vcols.at[out + v].set(col15[:, 3 * t + v], mode="drop")
+    def tab_body(c, te16):
+        return jnp.where((mcase == c)[None, :], tab16_j[:, c][:, None], te16)
+
+    te16 = jax.lax.fori_loop(0, 256, tab_body,
+                             jnp.full((16, max_cells), -1, jnp.int32))
+    tri_edges = te16[:15]  # (15, M)
+
+    # edge-id -> position/color select, same no-gather trick over 12 edges
+    def edge_body(e, carry):
+        pos15, col15 = carry
+        sel = (tri_edges == e)[:, None, :]  # (15, 1, M)
+        pos15 = pos15 + jnp.where(sel, epos[e][None], 0.0)
+        col15 = col15 + jnp.where(sel, ecol[e][None], 0.0)
+        return pos15, col15
+
+    pos15, col15 = jax.lax.fori_loop(
+        0, 12, edge_body,
+        (jnp.zeros((15, 3, max_cells), jnp.float32),
+         jnp.zeros((15, 3, max_cells), jnp.float32)),
+    )
+
+    # per-TRIANGLE compaction: a slot is real iff its first edge id >= 0
+    # (exact counts never needed — no TRI_COUNT table, no 8.4M prefix sums)
+    tri_valid = live[None, :] & (tri_edges[0::3] >= 0)  # (5, M)
+    tv_flat = tri_valid.reshape(-1)
+    t_order = jnp.cumsum(tv_flat.astype(jnp.int32)) - 1
+    total_tris = t_order[-1] + 1
+    out_idx = jnp.where(tv_flat & (t_order < max_tris), t_order,
+                        max_tris).reshape(5, max_cells)
+
+    verts_t = jnp.zeros((3, 3, max_tris + 1), jnp.float32)
+    vcols_t = jnp.zeros((3, 3, max_tris + 1), jnp.float32)
+    for t in range(5):  # static 5; each scatter writes (3, 3, M) slices
+        verts_t = verts_t.at[:, :, out_idx[t]].set(pos15[3 * t : 3 * t + 3],
+                                                   mode="drop")
+        vcols_t = vcols_t.at[:, :, out_idx[t]].set(col15[3 * t : 3 * t + 3],
+                                                   mode="drop")
 
     num_tris = jnp.minimum(total_tris, max_tris).astype(jnp.int32)
     overflow = (total_tris > max_tris) | (n_active > max_cells)
-    return verts, vcols, num_tris, overflow
+    # outputs stay M-minor: (vertex-of-tri, xyz, tri). extract_mesh reorders.
+    return verts_t[:, :, :max_tris], vcols_t[:, :, :max_tris], num_tris, overflow
 
 
 _TRIANGLE_IDX_CACHE = {}
@@ -244,26 +276,33 @@ _TRIANGLE_IDX_CACHE = {}
 def extract_mesh(vol: TSDFVolume, cfg: TSDFConfig, max_cells: int = 65536,
                  max_tris: int = 131072, auto_grow: bool = True) -> TriangleMesh:
     """Extract a triangle-soup mesh; grows static budgets (x4, recompile)
-    if they overflow and ``auto_grow``."""
+    if they overflow and ``auto_grow``.
+
+    Device outputs are tri-minor (3, 3, T) to dodge lane padding; this host
+    wrapper reorders them to the conventional (3T, 3) soup (numpy leaves in
+    the TriangleMesh — extraction is a host-facing operation)."""
     n_alive = int(vol.n_blocks)
     N = vol.tsdf.shape[0]
     E = next((e for e in EXTRACT_SIZES if e >= n_alive), N)
     E = min(E, N)
     while True:
-        verts, vcols, num_tris, overflow = extract_mesh_arrays(
+        verts_t, vcols_t, num_tris, overflow = extract_mesh_arrays(
             vol, cfg, max_cells=max_cells, max_tris=max_tris, extract_blocks=E
         )
         if not (auto_grow and bool(overflow)):
             break
         max_cells *= 4
         max_tris *= 4
+    # (vertex, xyz, tri) -> (tri, vertex, xyz) -> (3T, 3)
+    verts = np.asarray(verts_t).transpose(2, 0, 1).reshape(max_tris * 3, 3)
+    vcols = np.asarray(vcols_t).transpose(2, 0, 1).reshape(max_tris * 3, 3)
     if max_tris not in _TRIANGLE_IDX_CACHE:
-        _TRIANGLE_IDX_CACHE[max_tris] = jnp.arange(max_tris * 3, dtype=jnp.int32).reshape(-1, 3)
+        _TRIANGLE_IDX_CACHE[max_tris] = np.arange(max_tris * 3, dtype=np.int32).reshape(-1, 3)
     return TriangleMesh(
         vertices=verts,
         triangles=_TRIANGLE_IDX_CACHE[max_tris],
-        num_vertices=num_tris * 3,
-        num_triangles=num_tris,
+        num_vertices=np.int32(int(num_tris) * 3),
+        num_triangles=np.int32(int(num_tris)),
         vertex_colors=vcols,
     )
 

@@ -53,25 +53,30 @@ def main():
     batch = make_fused_batch_fn(intr, cfg, worklist_size=2048, stride=2)
     vol = tsdf.create(cfg)
     vol = batch(vol, depths, colors, posearr, rays)  # warmup/compile
-    jax.block_until_ready(vol.tsdf)
+    float(vol.weight.sum())  # value pull = reliable sync through the tunnel
 
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
         vol = batch(vol, depths, colors, posearr, rays)
-    jax.block_until_ready(vol.tsdf)
+    checksum = float(vol.weight.sum())
     dt = (time.perf_counter() - t0) / (reps * n_traj)
     fps = 1.0 / dt
 
-    # marching-cubes extraction timing (the reference re-extracts per frame)
-    mesh = mc.extract_mesh(vol, cfg, max_cells=262144, max_tris=524288)
-    jax.block_until_ready(mesh.vertices)
+    # marching-cubes extraction timing (the reference re-extracts per frame);
+    # value-pull sync: block_until_ready does not reliably block through the
+    # axon tunnel, and pulling full vertex buffers would time the network
+    mcells, mtris = 524288, 1048576
+    v, c, n_tris, ovf = mc.extract_mesh_arrays(vol, cfg, max_cells=mcells,
+                                               max_tris=mtris,
+                                               extract_blocks=2048)
+    float(v.sum())
     t0 = time.perf_counter()
     n_ext = 5
     for _ in range(n_ext):
-        mesh = mc.extract_mesh(vol, cfg, max_cells=262144, max_tris=524288,
-                               auto_grow=False)
-        jax.block_until_ready(mesh.vertices)
+        v, c, n_tris, ovf = mc.extract_mesh_arrays(
+            vol, cfg, max_cells=mcells, max_tris=mtris, extract_blocks=2048)
+        float(v.sum())
     extract_ms = (time.perf_counter() - t0) / n_ext * 1000.0
 
     print(json.dumps({
@@ -81,8 +86,10 @@ def main():
         "vs_baseline": round(fps / 30.0, 3),
         "frame_ms": round(dt * 1000.0, 2),
         "extract_ms": round(extract_ms, 2),
-        "mesh_triangles": int(mesh.num_triangles),
+        "mesh_triangles": int(n_tris),
+        "extract_overflow": bool(ovf),
         "n_blocks": int(vol.n_blocks),
+        "volume_checksum": checksum,
         "device": str(jax.devices()[0]),
     }))
 

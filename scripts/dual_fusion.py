@@ -31,11 +31,14 @@ from azurekinect3dreconstruction_tpu.utils.telemetry import log_info
 def synthetic_pair_frames(args, intr):
     import jax.numpy as jnp
 
+    # a STATIC two-camera rig looking at the scene (the pipeline's world
+    # frame is camera 0; rigs do not move in the reference's 2-cam scripts)
     cam = SyntheticCamera(intrinsics=intr)
-    T1 = np.asarray(se3.se3_exp(jnp.asarray([0.15, 0.02, -0.03, 0.04, -0.15, 0.02],
+    T0 = np.eye(4)
+    T1 = np.asarray(se3.se3_exp(jnp.asarray([0.12, 0.02, -0.02, 0.03, -0.1, 0.02],
                                             jnp.float32)), np.float64)
-    for T in orbit_trajectory(args.frames, radius=0.2, angle_span=0.4):
-        yield (cam.capture(T), cam.capture(T @ T1))
+    for _ in range(args.frames):
+        yield (cam.capture(T0), cam.capture(T1))
 
 
 def k4a_pair_frames(args):
