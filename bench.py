@@ -40,6 +40,7 @@ def main():
     rays = pixel_rays(intr)
 
     n_traj = 8
+    tile = 4  # 32 frames per dispatch: amortizes host-link latency
     poses = orbit_trajectory(n_traj, radius=0.35, angle_span=1.0)
     ds, cs, Ts = [], [], []
     for T in poses:
@@ -47,7 +48,10 @@ def main():
         ds.append(z)
         cs.append(c)
         Ts.append(jnp.asarray(T, jnp.float32))
-    depths, colors, posearr = jnp.stack(ds), jnp.stack(cs), jnp.stack(Ts)
+    depths = jnp.concatenate([jnp.stack(ds)] * tile)
+    colors = jnp.concatenate([jnp.stack(cs)] * tile)
+    posearr = jnp.concatenate([jnp.stack(Ts)] * tile)
+    n_traj *= tile
     jax.block_until_ready(depths)
 
     batch = make_fused_batch_fn(intr, cfg, worklist_size=2048, stride=2)
@@ -55,7 +59,7 @@ def main():
     vol = batch(vol, depths, colors, posearr, rays)  # warmup/compile
     float(vol.weight.sum())  # value pull = reliable sync through the tunnel
 
-    reps = 10
+    reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         vol = batch(vol, depths, colors, posearr, rays)
