@@ -317,7 +317,10 @@ def _integrate_fn(R: int, N: int, hash_cap: int, intr: Intrinsics, cfg: TSDFConf
     S = V // 128
 
     def call(meta, params, p0, p1, p2, tsdf, weight, color):
-        t, w, c = pl.pallas_call(
+        # pool arrays arrive kernel-native (N, S, 128): NO reshape here — a
+        # reshape at this boundary breaks XLA's alias chain and copies the
+        # whole pool per call (measured 9+ ms/frame)
+        return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=(
@@ -330,10 +333,7 @@ def _integrate_fn(R: int, N: int, hash_cap: int, intr: Intrinsics, cfg: TSDFConf
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=12 * 1024 * 1024,
             ),
-        )(meta, params, p0, p1, p2,
-          tsdf.reshape(N, S, 128), weight.reshape(N, S, 128),
-          color.reshape(N, 3, S, 128))
-        return t.reshape(N, V), w.reshape(N, V), c.reshape(N, 3, V)
+        )(meta, params, p0, p1, p2, tsdf, weight, color)
 
     return jax.jit(call, donate_argnums=(5, 6, 7))
 

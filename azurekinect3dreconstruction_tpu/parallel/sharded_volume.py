@@ -145,6 +145,11 @@ def make_sharded_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
 
             # ---- integration: my camera -> my shard; psum over cam -------
             T_cw = se3.inverse(pose)
+            Nl = local.tsdf.shape[0]
+            Vl = cfg.block_resolution ** 3
+            t_v = local.tsdf.reshape(Nl, Vl)
+            w_v = local.weight.reshape(Nl, Vl)
+            c_v = local.color.reshape(Nl, 3, Vl)
             pts_w = tsdf_volume.voxel_world_centers(local.block_coords, cfg)
             pc = se3.transform_points(T_cw, pts_w.reshape(-1, 3)).reshape(pts_w.shape)
             z = pc[..., 2]
@@ -159,8 +164,7 @@ def make_sharded_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
             vic = jnp.clip(vi, 0, intr.height - 1)
             dsmp = depth[vic, uic]
             sdf = dsmp - z
-            N = local.tsdf.shape[0]
-            alive = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) < local.n_blocks
+            alive = jax.lax.broadcasted_iota(jnp.int32, (Nl, 1), 0) < local.n_blocks
             upd = inb & (dsmp > 0) & (sdf > -cfg.sdf_trunc) & alive
             tsdf_obs = jnp.minimum(sdf / cfg.sdf_trunc, 1.0)
             csmp = jnp.swapaxes(color[vic, uic], 1, 2)  # (N, 3, V)
@@ -172,17 +176,18 @@ def make_sharded_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
                 jax.lax.psum(w_obs[:, None, :] * csmp, "cam"),
             )
             dw, dwt, dwc = sums
-            w_old = local.weight
+            w_old = w_v
             w_new = jnp.minimum(w_old + dw, cfg.max_integration_weight)
             denom = jnp.maximum(w_old + dw, 1e-9)
-            t_new = jnp.where(dw > 0, (local.tsdf * w_old + dwt) / denom, local.tsdf)
+            t_new = jnp.where(dw > 0, (t_v * w_old + dwt) / denom, t_v)
             c_new = jnp.where((dw > 0)[:, None, :],
-                              (local.color * w_old[:, None, :] + dwc) / denom[:, None, :],
-                              local.color)
+                              (c_v * w_old[:, None, :] + dwc) / denom[:, None, :],
+                              c_v)
 
             return (local.table_keys, local.table_vals, local.n_blocks[None],
-                    local.block_coords, t_new, w_new, c_new,
-                    local.overflow[None])
+                    local.block_coords, t_new.reshape(local.tsdf.shape),
+                    w_new.reshape(local.weight.shape),
+                    c_new.reshape(local.color.shape), local.overflow[None])
 
         specs_vol = (P("blk"), P("blk"), P("blk"), P("blk"), P("blk"), P("blk"),
                      P("blk"), P("blk"))

@@ -51,9 +51,15 @@ class TSDFVolume(NamedTuple):
     table_vals: jax.Array  # int32[hash_capacity]
     n_blocks: jax.Array  # int32[] allocated block count
     block_coords: jax.Array  # int32[capacity, 3] grid coords of each block
-    tsdf: jax.Array  # f32[capacity, R^3] normalized signed distance in [-1, 1]
-    weight: jax.Array  # f32[capacity, R^3]
-    color: jax.Array  # f32[capacity, 3, R^3] (channel-major: lane dim = voxels)
+    # voxel arrays are stored KERNEL-NATIVE as (capacity, R^3/128, 128)
+    # (color: (capacity, 3, R^3/128, 128)). The trailing (sublane, lane) dims
+    # match the Pallas integrate kernel's BlockSpecs exactly, so its in-place
+    # aliasing survives jit/scan — a reshape at the kernel boundary would
+    # break the alias chain and silently copy the whole pool every frame
+    # (~1.3 GB, measured 9+ ms). Consumers reshape read-only views freely.
+    tsdf: jax.Array  # f32[capacity, R^3/128, 128], normalized sdf in [-1, 1]
+    weight: jax.Array  # f32[capacity, R^3/128, 128]
+    color: jax.Array  # f32[capacity, 3, R^3/128, 128] channel-major
     overflow: jax.Array  # bool[] sticky pool-exhausted flag
 
     @property
@@ -67,15 +73,17 @@ def create(cfg: TSDFConfig) -> TSDFVolume:
     just swaps in a new state pytree."""
     n = cfg.block_capacity
     r3 = cfg.block_resolution**3
+    assert r3 % 128 == 0, "block_resolution^3 must be a multiple of 128"
+    s128 = r3 // 128
     t = vhash.HashTable.empty(cfg.hash_capacity)
     return TSDFVolume(
         table_keys=t.keys,
         table_vals=t.vals,
         n_blocks=jnp.zeros((), jnp.int32),
         block_coords=jnp.zeros((n, 3), jnp.int32),
-        tsdf=jnp.zeros((n, r3), jnp.float32),
-        weight=jnp.zeros((n, r3), jnp.float32),
-        color=jnp.zeros((n, 3, r3), jnp.float32),
+        tsdf=jnp.zeros((n, s128, 128), jnp.float32),
+        weight=jnp.zeros((n, s128, 128), jnp.float32),
+        color=jnp.zeros((n, 3, s128, 128), jnp.float32),
         overflow=jnp.zeros((), jnp.bool_),
     )
 
@@ -175,6 +183,11 @@ def integrate(vol: TSDFVolume, depth, color, T_world_cam, intr: Intrinsics,
     T_world_cam: camera-to-world.
     """
     T_cw = se3.inverse(jnp.asarray(T_world_cam, jnp.float32))
+    N_ = vol.tsdf.shape[0]
+    V_ = cfg.block_resolution ** 3
+    t_v = vol.tsdf.reshape(N_, V_)
+    w_v = vol.weight.reshape(N_, V_)
+    c_v = vol.color.reshape(N_, 3, V_)
     pts_w = voxel_world_centers(vol.block_coords, cfg)  # (N, V, 3)
     pts_c = se3.transform_points(T_cw, pts_w.reshape(-1, 3)).reshape(pts_w.shape)
 
@@ -193,21 +206,22 @@ def integrate(vol: TSDFVolume, depth, color, T_world_cam, intr: Intrinsics,
     sdf = d - z
     in_band = has_depth & (sdf > -cfg.sdf_trunc)
 
-    N = vol.tsdf.shape[0]
-    slot_alive = (jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) < vol.n_blocks)
+    slot_alive = (jax.lax.broadcasted_iota(jnp.int32, (N_, 1), 0) < vol.n_blocks)
     upd = in_band & slot_alive
 
     tsdf_obs = jnp.minimum(sdf / cfg.sdf_trunc, 1.0)
-    w_old = vol.weight
+    w_old = w_v
     w_new = jnp.where(upd, jnp.minimum(w_old + 1.0, cfg.max_integration_weight), w_old)
     inv = 1.0 / jnp.maximum(w_old + 1.0, 1.0)
-    tsdf_new = jnp.where(upd, (vol.tsdf * w_old + tsdf_obs) * inv, vol.tsdf)
+    tsdf_new = jnp.where(upd, (t_v * w_old + tsdf_obs) * inv, t_v)
 
     c = jnp.asarray(color)[vic, uic]  # (N, V, 3)
     c = jnp.swapaxes(c, 1, 2)  # -> (N, 3, V) to match the channel-major pool
-    col_new = jnp.where(upd[:, None, :], (vol.color * w_old[:, None, :] + c) * inv[:, None, :],
-                        vol.color)
-    return vol._replace(tsdf=tsdf_new, weight=w_new, color=col_new)
+    col_new = jnp.where(upd[:, None, :], (c_v * w_old[:, None, :] + c) * inv[:, None, :],
+                        c_v)
+    return vol._replace(tsdf=tsdf_new.reshape(vol.tsdf.shape),
+                        weight=w_new.reshape(vol.weight.shape),
+                        color=col_new.reshape(vol.color.shape))
 
 
 def integrate_frame(vol: TSDFVolume, depth, color, rays, T_world_cam,
@@ -247,8 +261,8 @@ def sample_tsdf(vol: TSDFVolume, points, cfg: TSDFConfig):
     lin = local[..., 0] * R * R + local[..., 1] * R + local[..., 2]
     ok = slot >= 0
     slot_c = jnp.where(ok, slot, 0)
-    t = vol.tsdf[slot_c, lin]
-    w = vol.weight[slot_c, lin]
+    t = vol.tsdf[slot_c, lin // 128, lin % 128]
+    w = vol.weight[slot_c, lin // 128, lin % 128]
     return jnp.where(ok, t, 1.0), jnp.where(ok, w, 0.0)
 
 
@@ -265,7 +279,7 @@ def extract_point_cloud(vol: TSDFVolume, cfg: TSDFConfig, max_points: Optional[i
     R = cfg.block_resolution
     tsdf = onp.asarray(vol.tsdf[:n]).reshape(n, R, R, R)
     weight = onp.asarray(vol.weight[:n]).reshape(n, R, R, R)
-    color = onp.asarray(vol.color[:n]).transpose(0, 2, 1).reshape(n, R, R, R, 3)
+    color = onp.asarray(vol.color[:n]).reshape(n, 3, R * R * R).transpose(0, 2, 1).reshape(n, R, R, R, 3)
     coords = onp.asarray(vol.block_coords[:n])
 
     pts_out = []

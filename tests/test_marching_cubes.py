@@ -44,7 +44,7 @@ def build_volume_from_field(field, cfg):
     for i in range(n):
         cx, cy, cz = coords[i] * R
         blockvals = field[cx : cx + R, cy : cy + R, cz : cz + R].reshape(-1)
-        tsdf_arr[vals_np[i]] = blockvals
+        tsdf_arr[vals_np[i]] = blockvals.reshape(tsdf_arr.shape[1:])
         w_arr[vals_np[i]] = 1.0
         col_arr[vals_np[i]] = 0.5
         bc[vals_np[i]] = coords[i]
