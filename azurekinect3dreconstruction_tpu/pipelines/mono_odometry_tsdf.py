@@ -99,3 +99,84 @@ class MonoOdometryTSDF:
 
     def extract_point_cloud(self, **kw):
         return tsdf.extract_point_cloud(self.volume, self.cfg.tsdf, **kw)
+
+
+# ---------------------------------------------------------------------------
+# fully-fused device step: odometry + allocate + integrate in one dispatch
+# ---------------------------------------------------------------------------
+
+
+def make_device_slam_step(intr: Intrinsics, cfg: PipelineConfig,
+                          worklist_size: int = 2048, stride: int = 2,
+                          min_fitness: float = 0.3, interpret: bool = False):
+    """The TPU-resident form of this pipeline: one jitted step that tracks
+    (hybrid odometry vs the previous frame, identity fallback on low fitness)
+    and fuses — no host round trip per frame. Batch with
+    :func:`make_device_slam_batch` to amortize dispatches entirely.
+
+    step(vol, T_prev (4,4), prev_intensity, prev_depth, intensity, depth,
+         color, rays) -> (vol, T_world_cam, fitness)
+    """
+    from azurekinect3dreconstruction_tpu.ops.pallas.tsdf_kernels import integrate_step
+    from azurekinect3dreconstruction_tpu.ops.pallas.odometry_kernels import (
+        compute_odometry_tpu,
+    )
+    from azurekinect3dreconstruction_tpu.core import se3
+
+    ocfg = cfg.odometry
+
+    def step(vol, T_prev, prev_int, prev_depth, intensity, depth, color, rays):
+        res = compute_odometry_tpu(prev_int, prev_depth, intensity, depth, intr,
+                                   ocfg, interpret=interpret)
+        ok = (res.fitness > min_fitness) & jnp.all(jnp.isfinite(res.T_target_source))
+        T_rel = jnp.where(ok, se3.inverse(res.T_target_source),
+                          jnp.eye(4, dtype=jnp.float32))
+        T = jnp.matmul(jnp.asarray(T_prev, jnp.float32), T_rel,
+                       precision=jax.lax.Precision.HIGHEST)
+        vol = integrate_step(vol, depth, color, T, rays, intr, cfg.tsdf,
+                             worklist_size, stride, interpret)
+        return vol, T, res.fitness
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_device_slam_batch(intr: Intrinsics, cfg: PipelineConfig,
+                           worklist_size: int = 2048, stride: int = 2,
+                           min_fitness: float = 0.3, interpret: bool = False):
+    """lax.scan over a frame batch: one dispatch tracks AND fuses F frames.
+
+    batch(vol, T0, intensities (F,H,W), depths (F,H,W), colors (F,H,W,3),
+          rays) -> (vol, poses (F,4,4), fitnesses (F,))
+    The first frame of the batch is tracked against the last frame of the
+    previous batch (pass it as index 0 with its pose as T0; it is not
+    re-integrated).
+    """
+    from azurekinect3dreconstruction_tpu.ops.pallas.tsdf_kernels import integrate_step
+    from azurekinect3dreconstruction_tpu.ops.pallas.odometry_kernels import (
+        compute_odometry_tpu,
+    )
+    from azurekinect3dreconstruction_tpu.core import se3
+
+    ocfg = cfg.odometry
+
+    def batch(vol, T0, intensities, depths, colors, rays):
+        def body(carry, fr):
+            vol, T_prev, prev_int, prev_depth = carry
+            inten, depth, color = fr
+            res = compute_odometry_tpu(prev_int, prev_depth, inten, depth, intr,
+                                       ocfg, interpret=interpret)
+            ok = (res.fitness > min_fitness) & jnp.all(
+                jnp.isfinite(res.T_target_source))
+            T_rel = jnp.where(ok, se3.inverse(res.T_target_source),
+                              jnp.eye(4, dtype=jnp.float32))
+            T = jnp.matmul(T_prev, T_rel, precision=jax.lax.Precision.HIGHEST)
+            vol = integrate_step(vol, depth, color, T, rays, intr, cfg.tsdf,
+                                 worklist_size, stride, interpret)
+            return (vol, T, inten, depth), (T, res.fitness)
+
+        init = (vol, jnp.asarray(T0, jnp.float32), intensities[0], depths[0])
+        (vol, T_last, _, _), (poses, fits) = jax.lax.scan(
+            body, init, (intensities[1:], depths[1:], colors[1:]))
+        return vol, poses, fits
+
+    return jax.jit(batch, donate_argnums=(0,))
