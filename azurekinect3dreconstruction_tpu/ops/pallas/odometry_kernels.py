@@ -95,17 +95,10 @@ def _window_sample_bilinear(win2, v, u, inb, S):
     return jnp.where(inb, val, 0.0)
 
 
-def _make_kernel(cfg: OdometryConfig, ntj: int, width: int, height: int):
-    def kernel(org_ref, params_ref, tgt_ref, src_ref, out_ref, win, sem):
+def _make_kernel(cfg: OdometryConfig, ntj: int, width: int, height: int,
+                 hp: int, wp: int):
+    def kernel(params_ref, tgt_ref, src_ref, out_ref, win, sem):
         i = pl.program_id(0)
-        v0 = pl.multiple_of(org_ref[0, i], 8)
-        u0 = pl.multiple_of(org_ref[1, i], 128)
-
-        cp = pltpu.make_async_copy(
-            tgt_ref.at[:, pl.ds(v0, WV), pl.ds(u0, WU)], win, sem
-        )
-        cp.start()
-        cp.wait()
 
         P = lambda k: params_ref[0, k]
         # source pixel coordinates of this tile
@@ -135,6 +128,25 @@ def _make_kernel(cfg: OdometryConfig, ntj: int, width: int, height: int):
         zs = jnp.maximum(pz, 1e-6)
         ut = px / zs * fx + cx
         vt = py / zs * fy + cy
+
+        # window origin from THIS tile's warped bbox (no host/XLA pre-pass):
+        # align down to the DMA tiling and clip to the padded image
+        ok0 = (z > P(20)) & (pz > P(20))
+        big = jnp.float32(1e9)
+        vmin = jnp.min(jnp.where(ok0, vt, big))
+        umin = jnp.min(jnp.where(ok0, ut, big))
+        vmin = jnp.minimum(vmin, big - 1.0)
+        umin = jnp.minimum(umin, big - 1.0)
+        v0 = jnp.clip((jnp.floor(vmin / 8.0).astype(jnp.int32) - 1) * 8, 0, hp - WV)
+        u0 = jnp.clip(jnp.floor(umin / 128.0).astype(jnp.int32) * 128, 0, wp - WU)
+        v0 = pl.multiple_of(v0, 8)
+        u0 = pl.multiple_of(u0, 128)
+
+        cp = pltpu.make_async_copy(
+            tgt_ref.at[:, pl.ds(v0, WV), pl.ds(u0, WU)], win, sem
+        )
+        cp.start()
+        cp.wait()
 
         wv = vt - v0.astype(jnp.float32)
         wu = ut - u0.astype(jnp.float32)
@@ -217,19 +229,19 @@ def _iteration_fn(intr: Intrinsics, cfg: OdometryConfig, lvl: int,
     hp, wp = _pad_dims(li.height, li.width)
     nti, ntj = hp // TV, wp // TU
     n_tiles = nti * ntj
-    kernel = _make_kernel(cfg, ntj, li.width, li.height)
+    kernel = _make_kernel(cfg, ntj, li.width, li.height, hp, wp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 32), lambda i, o: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # target planes (2, hp, wp)
-            pl.BlockSpec((6, TV, TU), lambda i, o: (0, i // ntj, i % ntj),
+            pl.BlockSpec((6, TV, TU), lambda i: (0, i // ntj, i % ntj),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, 128), lambda i, o: (i, 0, 0),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -239,30 +251,6 @@ def _iteration_fn(intr: Intrinsics, cfg: OdometryConfig, lvl: int,
     )
 
     def iteration(T, tgt_planes, src_planes, term_i, term_d):
-        # XLA pre-pass: warp all pixels, per-tile window origins
-        d_s = src_planes[1]
-        u = jnp.arange(wp, dtype=jnp.float32)[None, :]
-        v = jnp.arange(hp, dtype=jnp.float32)[:, None]
-        z = d_s
-        xs = (u - li.cx) / li.fx * z
-        ys = (v - li.cy) / li.fy * z
-        R_, t_ = T[:3, :3], T[:3, 3]
-        pz = R_[2, 0] * xs + R_[2, 1] * ys + R_[2, 2] * z + t_[2]
-        zs = jnp.maximum(pz, 1e-6)
-        ut = (R_[0, 0] * xs + R_[0, 1] * ys + R_[0, 2] * z + t_[0]) / zs * li.fx + li.cx
-        vt = (R_[1, 0] * xs + R_[1, 1] * ys + R_[1, 2] * z + t_[1]) / zs * li.fy + li.cy
-        ok = (z > cfg.min_depth) & (pz > cfg.min_depth)
-        big = jnp.float32(1e9)
-        vt_m = jnp.where(ok, vt, big).reshape(nti, TV, ntj, TU)
-        ut_m = jnp.where(ok, ut, big).reshape(nti, TV, ntj, TU)
-        vmin = jnp.min(vt_m, axis=(1, 3)).reshape(-1)  # (n_tiles,)
-        umin = jnp.min(ut_m, axis=(1, 3)).reshape(-1)
-        v0 = jnp.clip((jnp.floor(jnp.minimum(vmin, big - 1) / 8.0) * 8 - 8)
-                      .astype(jnp.int32), 0, hp - WV)
-        u0 = jnp.clip((jnp.floor(jnp.minimum(umin, big - 1) / 128.0) * 128)
-                      .astype(jnp.int32), 0, wp - WU)
-        origins = jnp.stack([v0, u0])  # (2, n_tiles)
-
         params = jnp.zeros((1, 32), jnp.float32)
         params = params.at[0, :12].set(T[:3, :4].reshape(-1))
         params = params.at[0, 16].set(li.fx).at[0, 17].set(li.fy)
@@ -281,7 +269,7 @@ def _iteration_fn(intr: Intrinsics, cfg: OdometryConfig, lvl: int,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=10 * 1024 * 1024),
-        )(origins, params, tgt_planes, src_planes)
+        )(params, tgt_planes, src_planes)
 
         sums = jnp.sum(tile_out.reshape(n_tiles, 8 * 128), axis=0)  # (1024,)
         JtJ = jnp.zeros((6, 6), jnp.float32)

@@ -83,17 +83,42 @@ def main():
         float(v.sum())
     extract_ms = (time.perf_counter() - t0) / n_ext * 1000.0
 
+    # full SLAM (Pallas odometry + fusion, one scan-batched dispatch)
+    from azurekinect3dreconstruction_tpu.config import PipelineConfig
+    from azurekinect3dreconstruction_tpu.ops.image import rgb_to_intensity
+    from azurekinect3dreconstruction_tpu.pipelines.mono_odometry_tsdf import (
+        make_device_slam_batch,
+    )
+
+    pcfg = PipelineConfig(tsdf=cfg)
+    intens = jnp.stack([rgb_to_intensity(c) for c in colors[:16]])
+    slam = make_device_slam_batch(intr, pcfg, worklist_size=2048, stride=2)
+    svol = tsdf.create(cfg)
+    svol, traj, fits = slam(svol, jnp.eye(4, dtype=jnp.float32),
+                            intens, depths[:16], colors[:16], rays)
+    float(svol.weight.sum())
+    t0 = time.perf_counter()
+    for _ in range(3):
+        svol, traj, fits = slam(svol, jnp.eye(4, dtype=jnp.float32),
+                                intens, depths[:16], colors[:16], rays)
+    float(svol.weight.sum())
+    slam_dt = (time.perf_counter() - t0) / (3 * 15)
+    slam_fps = 1.0 / slam_dt
+
     print(json.dumps({
         "metric": "depth_fps_into_5mm_tsdf_640x576",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
         "frame_ms": round(dt * 1000.0, 2),
+        "slam_fps_odometry_plus_fusion": round(slam_fps, 2),
+        "slam_frame_ms": round(slam_dt * 1000.0, 2),
         "extract_ms": round(extract_ms, 2),
         "mesh_triangles": int(n_tris),
         "extract_overflow": bool(ovf),
         "n_blocks": int(vol.n_blocks),
         "volume_checksum": checksum,
+        "min_odometry_fitness": round(float(jnp.min(fits)), 3),
         "device": str(jax.devices()[0]),
     }))
 
