@@ -18,8 +18,9 @@ B. **compact** — active cells (ntri > 0) are scattered into a fixed-capacity
    worklist. Typical scans activate ~1-3% of cells, so the expensive stage
    only touches surface cells.
 C. **emit** — for worklist cells, interpolate the 12 edge intersections
-   (positions + colors) and scatter up to 5 triangles each into fixed-size
-   vertex buffers at their precomputed offsets.
+   (positions + packed colors), then compact per TRIANGLE by inverting the
+   output permutation (one int scatter) so the final vertex data moves as
+   gathers sized by the triangle budget — never as big scatters.
 
 The output is a triangle soup (vertex sharing is done host-side by
 ``weld_vertices`` when an indexed mesh is needed, e.g. for OBJ export).
@@ -59,57 +60,48 @@ def _neighbor_slots(table, block_coords):
     return vhash.lookup(table, keys)
 
 
-def _padded_grids(t4, w4, nbr, alive, R: int):
-    """Padded (R+1)^3 tsdf/weight grids for E blocks.
+def _corner_views(fields, R: int):
+    """All 8 corner-shifted views of a per-block boolean field, computed in
+    the pool-native merged layout (E, R^3) — no (R+1)^3 padded cube.
 
-    t4/w4: (E, R, R, R); nbr: (E, 8) neighbor slots (< E or -1); alive (E,).
-    Cross-block faces come from slice-shaped gathers (fast vector loads)."""
-    E = t4.shape[0]
-    P = R + 1
-    tp = jnp.ones((E, P, P, P), jnp.float32)
-    wp = jnp.zeros((E, P, P, P), jnp.float32)
-    tp = tp.at[:, :R, :R, :R].set(t4)
-    wp = wp.at[:, :R, :R, :R].set(jnp.where(alive[:, None, None, None], w4, 0.0))
+    A padded cube has minor dims R+1 (=17), which the TPU lane-pads 17->128
+    (10x memory). Instead each (dx, dy, dz) corner view is a composition of
+    three one-voxel axis shifts on the FLAT (E, R^3) layout: a lane roll for
+    the in-block part plus a boundary-lane injection rolled out of the
+    matching neighbor block's field. 12 shift ops total, all vector
+    slice/concat/select — no gathers, no padding.
 
-    def fetch(code, index):
-        s = nbr[:, code]
-        ok = (s >= 0) & alive
-        sc = jnp.where(ok, s, 0)
-        t = index(t4, sc)
-        w = jnp.where(
-            ok.reshape((E,) + (1,) * (t.ndim - 1)), index(w4, sc), 0.0
-        )
-        return t, w
+    ``fields``: dict code -> (E, R^3) for the 8 (0/1)^3 neighbor blocks
+    (code 0 = self; missing neighbors already masked False).
+    Returns dict (dx, dy, dz) -> (E, R^3).
+    """
+    R2, R3 = R * R, R * R * R
+    idx = np.arange(R3)
+    mz = (idx % R) == R - 1
+    my = (idx // R) % R == R - 1
+    mx = (idx // R2) == R - 1
 
-    # +x face: neighbor local x == 0
-    t, w = fetch(1, lambda a, s: a[s, 0, :, :])
-    tp = tp.at[:, R, :R, :R].set(t)
-    wp = wp.at[:, R, :R, :R].set(w)
-    # +y face
-    t, w = fetch(2, lambda a, s: a[s, :, 0, :])
-    tp = tp.at[:, :R, R, :R].set(t)
-    wp = wp.at[:, :R, R, :R].set(w)
-    # +z face
-    t, w = fetch(4, lambda a, s: a[s, :, :, 0])
-    tp = tp.at[:, :R, :R, R].set(t)
-    wp = wp.at[:, :R, :R, R].set(w)
-    # +xy edge
-    t, w = fetch(3, lambda a, s: a[s, 0, 0, :])
-    tp = tp.at[:, R, R, :R].set(t)
-    wp = wp.at[:, R, R, :R].set(w)
-    # +xz edge
-    t, w = fetch(5, lambda a, s: a[s, 0, :, 0])
-    tp = tp.at[:, R, :R, R].set(t)
-    wp = wp.at[:, R, :R, R].set(w)
-    # +yz edge
-    t, w = fetch(6, lambda a, s: a[s, :, 0, 0])
-    tp = tp.at[:, :R, R, R].set(t)
-    wp = wp.at[:, :R, R, R].set(w)
-    # +xyz corner
-    t, w = fetch(7, lambda a, s: a[s, 0, 0, 0])
-    tp = tp.at[:, R, R, R].set(t)
-    wp = wp.at[:, R, R, R].set(w)
-    return tp, wp
+    def shift(off, mask, a_own, a_nbr):
+        # value at voxel i becomes field[i + off]; voxels whose +axis step
+        # leaves the block instead read the neighbor's axis==0 plane, which
+        # sits at i - (R-1)*stride in the neighbor's flat layout
+        return jnp.where(mask, jnp.roll(a_nbr, (R - 1) * off, axis=1),
+                         jnp.roll(a_own, -off, axis=1))
+
+    sz = lambda a, b: shift(1, mz, a, b)
+    sy = lambda a, b: shift(R, my, a, b)
+    sx = lambda a, b: shift(R2, mx, a, b)
+
+    z0 = (fields[0], fields[1], fields[2], fields[3])  # own, +x, +y, +xy
+    z1 = (sz(fields[0], fields[4]), sz(fields[1], fields[5]),
+          sz(fields[2], fields[6]), sz(fields[3], fields[7]))
+    views = {}
+    for dz, (f0, f1, f2, f3) in ((0, z0), (1, z1)):
+        y_rows = ((0, f0, f1), (1, sy(f0, f2), sy(f1, f3)))
+        for dy, v_own, v_x in y_rows:
+            views[(0, dy, dz)] = v_own
+            views[(1, dy, dz)] = sx(v_own, v_x)
+    return views
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_cells", "max_tris", "extract_blocks"))
@@ -124,8 +116,8 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     E = min(extract_blocks or N, N)
     C3 = R * R * R
 
-    t4 = vol.tsdf[:E].reshape(E, R, R, R)
-    w4 = vol.weight[:E].reshape(E, R, R, R)
+    t2 = vol.tsdf[:E].reshape(E, C3)
+    w2 = vol.weight[:E].reshape(E, C3)
     coords = vol.block_coords[:E]
     alive = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0)[:, 0] < vol.n_blocks
     nbr = _neighbor_slots(vol.table, coords)
@@ -134,28 +126,42 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     nbr = jnp.where(nbr < E, nbr, -1)
 
     # ---- stage A: survey ---------------------------------------------------
-    tp, wp = _padded_grids(t4, w4, nbr, alive, R)
-    inside = (tp < 0.0) & (wp > 0.0)
-    validc = wp > 0.0
+    inside0 = (t2 < 0.0) & (w2 > 0.0) & alive[:, None]
+    valid0 = (w2 > 0.0) & alive[:, None]
 
-    def corner_view(a, k):
-        dx, dy, dz = mt.CORNER_OFFSETS[k]
-        return a[:, dx : dx + R, dy : dy + R, dz : dz + R]
+    def nbr_field(base, code):
+        s = nbr[:, code]
+        ok = (s >= 0) & alive
+        return jnp.where(ok[:, None], base[jnp.where(ok, s, 0)], False)
 
-    case = jnp.zeros((E, R, R, R), jnp.int32)
-    all_valid = jnp.ones((E, R, R, R), jnp.bool_)
+    ins_f = {0: inside0}
+    val_f = {0: valid0}
+    for c in range(1, 8):
+        ins_f[c] = nbr_field(inside0, c)
+        val_f[c] = nbr_field(valid0, c)
+    ins_v = _corner_views(ins_f, R)
+    val_v = _corner_views(val_f, R)
+
+    case = jnp.zeros((E, C3), jnp.int32)
+    all_valid = jnp.ones((E, C3), jnp.bool_)
     for k in range(8):
-        case = case | (corner_view(inside, k).astype(jnp.int32) << k)
-        all_valid = all_valid & corner_view(validc, k)
+        key = tuple(mt.CORNER_OFFSETS[k])
+        case = case | (ins_v[key].astype(jnp.int32) << k)
+        all_valid = all_valid & val_v[key]
 
     # a cell has triangles iff its corners' signs are mixed: every case except
     # 0 and 255 produces geometry — two compares, no table lookup, no gathers
-    active4 = all_valid & alive[:, None, None, None] & (case != 0) & (case != 255)
+    active4 = all_valid & (case != 0) & (case != 255)
 
     # ---- stage B: compact active cells --------------------------------------
+    # two-level prefix sum: per-block scans run independently across sublanes;
+    # only the (E,) block totals need a global scan
     active = active4.reshape(-1)
-    order = jnp.cumsum(active.astype(jnp.int32)) - 1
-    n_active = order[-1] + 1
+    local = jnp.cumsum(active4.astype(jnp.int32), axis=1)  # (E, C3) inclusive
+    counts = local[:, -1]
+    offs = jnp.cumsum(counts) - counts  # exclusive block offsets
+    order = (local - 1 + offs[:, None]).reshape(-1)
+    n_active = offs[-1] + counts[-1]
     dst = jnp.where(active & (order < max_cells), order, max_cells)
     wl_cell = jnp.full((max_cells,), -1, jnp.int32)
     cell_ids = jax.lax.broadcasted_iota(jnp.int32, (E * C3, 1), 0)[:, 0]
@@ -178,17 +184,16 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     gj = _CORNERS[:, 1][:, None] + cj[None, :]
     gk = _CORNERS[:, 2][:, None] + ck[None, :]
     # flat-index gathers (single index vector) lower to simpler TPU gathers
-    # than 4D advanced indexing
-    P = R + 1
-    tflat = tp.reshape(-1)
-    vals = tflat[((b[None, :] * P + gi) * P + gj) * P + gk]  # (8, M)
-
+    # than 4D advanced indexing; corner values come straight from the pool
+    # (boundary corners resolve through the neighbor slots — for active cells
+    # all_valid already guarantees the neighbors exist)
     code = ((gi == R).astype(jnp.int32)
             + 2 * (gj == R).astype(jnp.int32)
             + 4 * (gk == R).astype(jnp.int32))
     cslot = nbr[b[None, :], code]
     cslot = jnp.where(cslot >= 0, cslot, 0)
     clin = (gi % R) * R * R + (gj % R) * R + (gk % R)
+    vals = t2.reshape(-1)[cslot * C3 + clin]  # (8, M)
     # pack RGB into one f32 (exact for 24-bit ints) -> one gather, not three
     V = R * R * R
     cE = vol.color[:E]
@@ -210,80 +215,82 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     denom = va - vb
     frac = va / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
     frac = jnp.clip(frac, 0.0, 1.0)
-    pa = _CORNERS[_EDGE_A].astype(np.float32)  # (12, 3)
-    pbt = _CORNERS[_EDGE_B].astype(np.float32)
     cell0 = (coords[b].T * R + jnp.stack([ci, cj, ck])).astype(jnp.float32)  # (3, M)
-    epos = ((cell0[None] + 0.5 + pa[:, :, None]
-             + frac[:, None, :] * (pbt - pa)[:, :, None]) * cfg.voxel_size
-            )  # (12, 3, M)
     ca = cols[:, _EDGE_A]  # (3, 12, M)
     cb2 = cols[:, _EDGE_B]
-    ecol = jnp.swapaxes(ca + frac[None] * (cb2 - ca), 0, 1)  # (12, 3, M)
+    ecol_ch = ca + frac[None] * (cb2 - ca)  # (3, 12, M)
+    # re-pack interpolated edge colors to one f32 (8 bits/channel — the
+    # source colors are u8, so this quantization is below source granularity);
+    # the emit stage then needs ONE color gather per vertex, not three
+    ecol_pk = (jnp.round(ecol_ch[0] * 255.0) * 65536.0
+               + jnp.round(ecol_ch[1] * 255.0) * 256.0
+               + jnp.round(ecol_ch[2] * 255.0))  # (12, M)
 
-    # tri_edges = TRI_TABLE[mcase] without gathers. Each table row packs its
-    # 16 nibble entries (edge ids shifted to [0,12], 15 = "none") into TWO
-    # int32 words, so the 256-iteration select only moves (2, M) per step —
-    # 16x less traffic than selecting the unpacked (16, M) rows.
-    packed_np = np.zeros((2, 256), np.uint32)
-    for c in range(256):
-        for t in range(15):
-            v = int(_TRI_TABLE[c, t]) + 1  # -1 (none) -> nibble 0
-            packed_np[t // 8, c] |= np.uint32((v & 0xF) << (4 * (t % 8)))
-    tab_packed = jnp.asarray(packed_np.view(np.int32))
-
-    def tab_body(c, pk):
-        return jnp.where((mcase == c)[None, :], tab_packed[:, c][:, None], pk)
-
-    packed_sel = jax.lax.fori_loop(0, 256, tab_body,
-                                   jnp.zeros((2, max_cells), jnp.int32))
-    # unpack 15 nibbles -> (15, M) edge ids (-1 where empty)
-    tri_edges = jnp.stack([
-        ((jax.lax.shift_right_logical(packed_sel[t // 8], jnp.int32(4 * (t % 8))) & 0xF) - 1)
-        for t in range(15)
-    ])
-
-    # edge-id -> position/color select, same no-gather trick over 12 edges
-    def edge_body(e, carry):
-        pos15, col15 = carry
-        sel = (tri_edges == e)[:, None, :]  # (15, 1, M)
-        pos15 = pos15 + jnp.where(sel, epos[e][None], 0.0)
-        col15 = col15 + jnp.where(sel, ecol[e][None], 0.0)
-        return pos15, col15
-
-    pos15, col15 = jax.lax.fori_loop(
-        0, 12, edge_body,
-        (jnp.zeros((15, 3, max_cells), jnp.float32),
-         jnp.zeros((15, 3, max_cells), jnp.float32)),
-    )
+    # tri_edges = TRI_TABLE[mcase] without gathers: the 256-case row select
+    # is an MXU matmul of the (15, 256) table against a bf16 one-hot of the
+    # case codes. Edge ids + 1 are <= 13, exact in bf16, so the product is
+    # exact; the MXU does in ~1 ms what a 256-step select loop did in ~33 ms.
+    onehot = (mcase[None, :] ==
+              jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)).astype(jnp.bfloat16)
+    tab15 = (_TRI_TABLE.T + 1).astype(np.float32)  # (15, 256), 0 = "none"
+    tri_edges = jnp.dot(jnp.asarray(tab15, jnp.bfloat16), onehot,
+                        preferred_element_type=jnp.float32).astype(jnp.int32) - 1
 
     # per-TRIANGLE compaction: a slot is real iff its first edge id >= 0
     # (exact counts never needed — no TRI_COUNT table, no 8.4M prefix sums)
-    tri_valid = live[None, :] & (tri_edges[0::3] >= 0)  # (5, M)
+    te = tri_edges.reshape(5, 3, max_cells)  # (tri-slot, vtx, M)
+    tri_valid = live[None, :] & (te[:, 0] >= 0)  # (5, M)
     tv_flat = tri_valid.reshape(-1)
     t_order = jnp.cumsum(tv_flat.astype(jnp.int32)) - 1
     total_tris = t_order[-1] + 1
     out_flat = jnp.where(tv_flat & (t_order < max_tris), t_order, max_tris)  # (5M,)
 
-    # emit as 9 independent minor-axis scatters (scatters along the last axis
-    # of a 2D array are the fast path; scattering (3,3,M) chunks into a
-    # (3,3,T) buffer serializes badly)
-    src_p = pos15.reshape(5, 3, 3, max_cells)  # (tri-slot, vtx, xyz, M)
-    src_c = col15.reshape(5, 3, 3, max_cells)
-    src_p = jnp.moveaxis(src_p, 0, -2).reshape(9, 5 * max_cells)
-    src_c = jnp.moveaxis(src_c, 0, -2).reshape(9, 5 * max_cells)
-    # out_flat is (tri-slot major, M minor); match source ordering
-    out_rows = jnp.broadcast_to(out_flat.reshape(1, 5 * max_cells), (9, 5 * max_cells))
-    verts_t = jnp.zeros((9, max_tris + 1), jnp.float32)
-    vcols_t = jnp.zeros((9, max_tris + 1), jnp.float32)
-    rows9 = jnp.arange(9, dtype=jnp.int32)[:, None]
-    verts_t = verts_t.at[rows9, out_rows].set(src_p, mode="drop")
-    vcols_t = vcols_t.at[rows9, out_rows].set(src_c, mode="drop")
+    # emit by INVERTING the compaction permutation: one int32 scatter builds
+    # inv (triangle -> source slot), then everything else is gathers sized by
+    # max_tris, not 5*max_cells. (The previous 9-row scatter emit moved
+    # 18 x 5M scattered f32 — 65% of total extraction time; this moves one
+    # 5M int scatter + ~13 x T gathered f32.) Each triangle's 3 edge ids ride
+    # as one packed int so the worklist payload is a single gather.
+    pe = ((te[:, 0] + 1) | ((te[:, 1] + 1) << 4) | ((te[:, 2] + 1) << 8))  # (5, M)
+    src_idx = jax.lax.broadcasted_iota(jnp.int32, (5 * max_cells, 1), 0)[:, 0]
+    inv = jnp.zeros((max_tris + 1,), jnp.int32)
+    inv = inv.at[out_flat].set(src_idx, mode="drop")[:max_tris]
+    m = inv % max_cells  # worklist cell of triangle t
+    pe_t = pe.reshape(-1)[inv]  # (T,) — 1 gather
+    ev = jnp.stack([pe_t & 0xF, (pe_t >> 4) & 0xF, (pe_t >> 8) & 0xF]) - 1
+    ev = jnp.maximum(ev, 0)  # (3, T) edge id per vertex (trash rows -> 0)
+
+    # positions are RECOMPUTED per triangle vertex from gathered frac + cell
+    # origin (same f32 expression as a per-edge precompute — bit-identical —
+    # but 6 gathers/triangle instead of 9, and no (12, 3, M) buffer). The
+    # edge-endpoint constants come from a 12-term mask-sum (VPU-cheap), never
+    # a gather. Output is directly tri-minor (vtx, xyz, T): no transpose,
+    # no scatter.
+    frac_t = frac.reshape(-1)[ev * max_cells + m[None, :]]  # (3, T)
+    cell0_t = cell0[:, m]  # (3, T)
+    pa_np = _CORNERS[_EDGE_A].astype(np.float32)  # (12, 3)
+    pb_np = _CORNERS[_EDGE_B].astype(np.float32)
+    pa_sel = jnp.zeros((3, 3, max_tris), jnp.float32)
+    pd_sel = jnp.zeros((3, 3, max_tris), jnp.float32)
+    for e in range(12):
+        sel = (ev == e)[:, None, :]
+        pa_sel = pa_sel + sel * pa_np[e][None, :, None]
+        pd_sel = pd_sel + sel * (pb_np[e] - pa_np[e])[None, :, None]
+    verts = ((cell0_t[None] + 0.5 + pa_sel + frac_t[:, None, :] * pd_sel)
+             * cfg.voxel_size)  # (3, 3, T)
+    cols_pk = ecol_pk.reshape(-1)[ev * max_cells + m[None, :]]  # (3, T)
+    cr = jnp.floor(cols_pk / 65536.0)
+    cg = jnp.floor((cols_pk - cr * 65536.0) / 256.0)
+    cb3 = cols_pk - cr * 65536.0 - cg * 256.0
+    vcols = jnp.stack([cr, cg, cb3], axis=1) / 255.0  # (3, 3, T)
 
     num_tris = jnp.minimum(total_tris, max_tris).astype(jnp.int32)
     overflow = (total_tris > max_tris) | (n_active > max_cells)
-    # outputs stay M-minor: (vtx*3+xyz, tri). extract_mesh reorders on host.
-    return (verts_t[:, :max_tris].reshape(3, 3, max_tris),
-            vcols_t[:, :max_tris].reshape(3, 3, max_tris), num_tris, overflow)
+    # zero the tail (unset inv slots gathered garbage from source slot 0)
+    tmask = (jnp.arange(max_tris, dtype=jnp.int32) < num_tris)[None, None, :]
+    # outputs stay M-minor: (vtx, xyz, tri). extract_mesh reorders on host.
+    return (jnp.where(tmask, verts, 0.0), jnp.where(tmask, vcols, 0.0),
+            num_tris, overflow)
 
 
 _TRIANGLE_IDX_CACHE = {}
