@@ -2,23 +2,27 @@
 
 The XLA odometry (tracking/odometry.py) is correct everywhere but its dense
 warp does ~10M scalar image gathers per frame — ~3 s on TPU. This kernel
-restructures one Gauss–Newton iteration the same way the TSDF integrate
-kernel restructured fusion:
+restructures the whole Gauss–Newton pyramid the TPU way:
 
-- the source image is processed in (32, 128) tiles (native VPU layout);
-- a per-iteration XLA pre-pass warps all pixels (elementwise) and computes
-  each tile's warped bounding box -> an aligned 64x256 target window per
-  tile (tiles whose footprint exceeds the window mask those pixels out —
-  they are exactly the pixels whose motion is untrackable at that level);
-- inside the kernel the bilinear samples of target intensity/depth become
-  lane-local ``take_along_axis`` gathers + one-hot row reductions on the
-  VMEM-resident window (see tsdf_kernels._window_sample);
+- ONE pallas_call per pyramid LEVEL runs ALL its GN iterations: grid
+  (iters, n_tiles + 1). The pose lives in VMEM scratch; the extra grid step
+  per iteration solves the 6x6 normal equations (unrolled scalar Cholesky
+  with Jacobi equilibration), applies the scalar se3 exp, and composes the
+  pose — all as in-kernel machine instructions. At the XLA level those
+  ~180 tiny scalar HLO ops cost ~2 ms PER ITERATION (TPU pays ~10 us per
+  tiny op); in-kernel they are free.
+- source tiles are (32, image_width) — full-width, because grid steps have
+  ~10 us fixed overhead — and each tile DMAs a rows-only 64-row target
+  window computed from its own warped bbox (no host/XLA pre-pass);
+- each 128-lane u-group slices its own 256-wide sub-window (aligned dynamic
+  VMEM slice) and bilinearly samples it with lane-local ``take_along_axis``
+  over row-broadcast copies; the v-interpolation is fused into the row
+  reduction as a hat weight (see _window_sample_bilinear_pair);
 - image gradients come from the SOURCE pyramid (the standard
   forward-compositional "gradient swap": equal at convergence, and it turns
   4 more warped channels into 4 cheap blocked inputs);
 - each tile reduces its pixels straight to the 6x6 normal equations
-  (21 upper-triangle entries + 6 Jtr + counts), so the kernel's output is a
-  few dozen floats per tile; XLA sums tiles, solves 6x6, updates the pose.
+  (21 upper-triangle entries + 6 Jtr + counts) accumulated in VMEM scratch.
 
 Parity: same residuals/weights/gates as tracking/odometry._level_step; the
 gradient swap changes the GN *path* slightly but not the fixed point —
@@ -38,219 +42,408 @@ from jax.experimental.pallas import tpu as pltpu
 
 from azurekinect3dreconstruction_tpu.config import OdometryConfig
 from azurekinect3dreconstruction_tpu.core.camera import Intrinsics
+from azurekinect3dreconstruction_tpu.core import linalg
 from azurekinect3dreconstruction_tpu.core import se3
 from azurekinect3dreconstruction_tpu.ops.image import build_pyramid, sobel_gradients
 from azurekinect3dreconstruction_tpu.tracking.odometry import OdometryResult
 
-TV, TU = 32, 128  # source tile
-WV, WU = 64, 256  # target window (origins 8/128-aligned)
+TV = 32   # tile rows; a tile spans the FULL padded image width (grid steps
+          # have ~10 us fixed overhead on TPU, so fewer/fatter tiles win)
+WV = 64   # target window rows (origin 8-aligned; 32 rows of motion margin)
+GW = 256  # per-128-lane-group sampling window width (128 lanes of u margin)
 
 _PP = jax.lax.Precision.HIGHEST
 
 
 def _pad_dims(h: int, w: int) -> Tuple[int, int]:
     hp = max(-(-h // TV) * TV, WV)
-    wp = max(-(-w // TU) * TU, WU)
+    wp = max(-(-w // 128) * 128, GW)
     return hp, wp
 
 
-def _window_sample_bilinear(win2, v, u, inb, S):
-    """Bilinear sample of win2 (WV, WU) at float window coords (v, u) given
-    in (S, 128) layout. Returns (S, 128) f32 (0 where ~inb)."""
-    v0 = jnp.floor(v)
+def _window_sample_bilinear_pair(winA, winB, v, u, inb, S):
+    """Bilinear sample of TWO (WV, GW) windows at the same float window
+    coords (v, u) in (S, 128) layout. Returns two (S, 128) f32 maps
+    (0 where ~inb).
+
+    The v-interpolation is fused into the row reduction as a hat weight
+    w(r) = max(0, 1 - |v - r|) — nonzero for exactly the two bilinear rows
+    with exactly the bilinear weights — so each u-tap needs ONE broadcast +
+    take_along_axis + weighted reduce instead of two one-hot row selects.
+    Index and weight arrays are shared across the two channels: sampling is
+    ~95% of the kernel's time and this halves it twice over."""
     u0 = jnp.floor(u)
-    fv = v - v0
     fu = u - u0
-    iv0 = v0.astype(jnp.int32)
     iu0 = u0.astype(jnp.int32)
 
-    def nearest(iv, iu):
-        ivc = jnp.clip(iv, 0, WV - 1)
-        iul = jnp.clip(iu, 0, 127)
-        iur = jnp.clip(iu - 128, 0, 127)
+    def expand(x):
+        return jnp.broadcast_to(x[None], (WV, S, 128)).reshape(WV * S, 128)
 
-        def half(wh, idx_half):
-            big = jnp.broadcast_to(wh[:, None, :], (WV, S, 128)).reshape(WV * S, 128)
-            idx = jnp.broadcast_to(idx_half[None], (WV, S, 128)).reshape(WV * S, 128)
-            return jnp.take_along_axis(big, idx, axis=1)
+    rr_f = (jax.lax.broadcasted_iota(jnp.int32, (WV * S, 128), 0) // S
+            ).astype(jnp.float32)
+    w = jnp.maximum(1.0 - jnp.abs(expand(v) - rr_f), 0.0)
 
-        g_l = half(win2[:, :128], iul)
-        g_r = half(win2[:, 128:], iur)
-        right = jnp.broadcast_to((iu >= 128)[None], (WV, S, 128)).reshape(WV * S, 128)
-        g2 = jnp.where(right, g_r, g_l)
-        rr = jax.lax.broadcasted_iota(jnp.int32, (WV * S, 128), 0) // S
-        ivb = jnp.broadcast_to(ivc[None], (WV, S, 128)).reshape(WV * S, 128)
-        sel = jnp.where(rr == ivb, g2, 0.0)
-        acc = jnp.zeros((S, 128), jnp.float32)
-        for r in range(WV):
-            acc = acc + sel[r * S : (r + 1) * S]
-        return acc
+    def bigrows(win2):
+        # two-step slice-then-broadcast: fusing them into one indexing
+        # expression makes jax fold the slice into the take_along_axis
+        # gather, which Mosaic rejects (shape mismatch)
+        wl = win2[:, :128]
+        wr = win2[:, 128:]
+        bl = jnp.broadcast_to(wl[:, None, :], (WV, S, 128)).reshape(WV * S, 128)
+        br = jnp.broadcast_to(wr[:, None, :], (WV, S, 128)).reshape(WV * S, 128)
+        return bl, br
 
-    c00 = nearest(iv0, iu0)
-    c01 = nearest(iv0, iu0 + 1)
-    c10 = nearest(iv0 + 1, iu0)
-    c11 = nearest(iv0 + 1, iu0 + 1)
-    val = (c00 * (1 - fu) * (1 - fv) + c01 * fu * (1 - fv)
-           + c10 * (1 - fu) * fv + c11 * fu * fv)
-    return jnp.where(inb, val, 0.0)
+    bigA = bigrows(winA)
+    bigB = bigrows(winB)
+
+    def utap(iu):
+        idx_l = expand(jnp.clip(iu, 0, 127))
+        idx_r = expand(jnp.clip(iu - 128, 0, 127))
+        right = expand(iu >= 128)
+
+        def sample(bl, br):
+            g = jnp.where(right, jnp.take_along_axis(br, idx_r, axis=1),
+                          jnp.take_along_axis(bl, idx_l, axis=1))
+            z = w * g
+            # log-tree row reduce: a linear 64-add chain is latency-bound
+            # (every add waits on the previous one); depth-6 halving folds
+            # keep the VPU pipeline full
+            h = WV // 2
+            while h >= 1:
+                z = z[: h * S] + z[h * S : 2 * h * S]
+                h //= 2
+            return z
+
+        return sample(*bigA), sample(*bigB)
+
+    a0A, a0B = utap(iu0)
+    a1A, a1B = utap(iu0 + 1)
+    valA = a0A * (1 - fu) + a1A * fu
+    valB = a0B * (1 - fu) + a1B * fu
+    return jnp.where(inb, valA, 0.0), jnp.where(inb, valB, 0.0)
 
 
-def _make_kernel(cfg: OdometryConfig, ntj: int, width: int, height: int,
-                 hp: int, wp: int):
-    def kernel(params_ref, tgt_ref, src_ref, out_ref, win, sem):
-        i = pl.program_id(0)
+def _chol_solve6(A, b):
+    """Unrolled scalar Cholesky solve of a damped 6x6 SPD system.
 
+    A: 6x6 nested lists of traced scalars; b: list of 6. Runs INSIDE the
+    kernel: each op is a machine instruction. (At the XLA level the same
+    ~120-op scalar DAG costs ~1.2 ms per solve — TPU pays ~10 us per tiny
+    HLO op — which is why the whole GN update lives in the kernel.)"""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _se3_exp_scalars(d):
+    """In-kernel scalar se3 exp: twist list (vx vy vz wx wy wz) -> 3x4
+    nested lists [R | t]. Mirrors core.se3.se3_exp (same series thresholds)."""
+    vx, vy, vz, wx, wy, wz = d
+    t2 = wx * wx + wy * wy + wz * wz
+    th = jnp.sqrt(t2 + 1e-32)
+    big = t2 > 1e-6
+    sn, cs = jnp.sin(th), jnp.cos(th)
+    sa = jnp.where(big, sn / th, 1.0 - t2 / 6.0)
+    sb = jnp.where(big, (1.0 - cs) / jnp.maximum(t2, 1e-32), 0.5 - t2 / 24.0)
+    sc = jnp.where(big, (th - sn) / jnp.maximum(t2 * th, 1e-32),
+                   1.0 / 6.0 - t2 / 120.0)
+    zero = vx * 0.0
+    W = [[zero, -wz, wy], [wz, zero, -wx], [-wy, wx, zero]]
+    W2 = [[sum(W[i][k] * W[k][j] for k in range(3)) for j in range(3)]
+          for i in range(3)]
+    R = [[(1.0 if i == j else 0.0) + sa * W[i][j] + sb * W2[i][j]
+          for j in range(3)] for i in range(3)]
+    V = [[(1.0 if i == j else 0.0) + sb * W[i][j] + sc * W2[i][j]
+          for j in range(3)] for i in range(3)]
+    v = [vx, vy, vz]
+    t = [sum(V[i][k] * v[k] for k in range(3)) for i in range(3)]
+    return [[R[i][0], R[i][1], R[i][2], t[i]] for i in range(3)]
+
+
+def _make_level_kernel(cfg: OdometryConfig, n_tiles: int,
+                       width: int, height: int, hp: int, wp: int):
+    """One whole pyramid LEVEL per pallas_call: grid (iters, n_tiles + 1).
+
+    Steps j < n_tiles accumulate the tile normal equations into VMEM
+    scratch; step j == n_tiles does the 6x6 Cholesky solve, the se3 exp and
+    the pose composition as in-kernel scalar arithmetic, updating the pose
+    scratch the next iteration's tiles read. One kernel replaces
+    iters x (pallas_call + ~2 ms of XLA scalar glue).
+
+    Tiles are (TV, wp) — full image width — so the window DMA is rows-only
+    and each 128-lane u-group picks its own GW-wide sub-window (aligned
+    dynamic VMEM slice) for the bilinear gather."""
+
+    def kernel(params_ref, tgt_ref, src_ref, out_ref, win, acc, pose, sem):
+        it = pl.program_id(0)
+        j = pl.program_id(1)
         P = lambda k: params_ref[0, k]
-        # source pixel coordinates of this tile
-        ti = i // ntj
-        tj = i % ntj
-        vs = (ti * TV + jax.lax.broadcasted_iota(jnp.int32, (TV, TU), 0)
-              ).astype(jnp.float32)
-        us = (tj * TU + jax.lax.broadcasted_iota(jnp.int32, (TV, TU), 1)
-              ).astype(jnp.float32)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-        i_s = src_ref[0]
-        d_s = src_ref[1]
-        gx = src_ref[2]
-        gy = src_ref[3]
-        gdx = src_ref[4]
-        gdy = src_ref[5]
+        def onehot_row(pairs):
+            row = jnp.zeros((1, 128), jnp.float32)
+            for k, val in pairs:
+                row = row + jnp.where(lane1 == k, val, 0.0)
+            return row
 
-        fx, fy, cx, cy = P(16), P(17), P(18), P(19)
-        z = d_s
-        xs = (us - cx) / fx * z
-        ys = (vs - cy) / fy * z
-        valid_s = (z > P(20)) & (z < P(21))
+        @pl.when((it == 0) & (j == 0))
+        def _init_pose():
+            pose[:, :] = onehot_row([(k, P(k)) for k in range(12)])
 
-        px = P(0) * xs + P(1) * ys + P(2) * z + P(3)
-        py = P(4) * xs + P(5) * ys + P(6) * z + P(7)
-        pz = P(8) * xs + P(9) * ys + P(10) * z + P(11)
-        zs = jnp.maximum(pz, 1e-6)
-        ut = px / zs * fx + cx
-        vt = py / zs * fy + cy
+        @pl.when(j == 0)
+        def _zero_acc():
+            acc[:, :] = jnp.zeros((8, 128), jnp.float32)
 
-        # window origin from THIS tile's warped bbox (no host/XLA pre-pass):
-        # align down to the DMA tiling and clip to the padded image
-        ok0 = (z > P(20)) & (pz > P(20))
-        big = jnp.float32(1e9)
-        vmin = jnp.min(jnp.where(ok0, vt, big))
-        umin = jnp.min(jnp.where(ok0, ut, big))
-        vmin = jnp.minimum(vmin, big - 1.0)
-        umin = jnp.minimum(umin, big - 1.0)
-        v0 = jnp.clip((jnp.floor(vmin / 8.0).astype(jnp.int32) - 1) * 8, 0, hp - WV)
-        u0 = jnp.clip(jnp.floor(umin / 128.0).astype(jnp.int32) * 128, 0, wp - WU)
-        v0 = pl.multiple_of(v0, 8)
-        u0 = pl.multiple_of(u0, 128)
+        @pl.when(j < n_tiles)
+        def _tile():
+            Tp = lambda k: pose[0, k]
+            vs = (j * TV + jax.lax.broadcasted_iota(jnp.int32, (TV, wp), 0)
+                  ).astype(jnp.float32)
+            us = jax.lax.broadcasted_iota(jnp.int32, (TV, wp), 1
+                                          ).astype(jnp.float32)
 
-        cp = pltpu.make_async_copy(
-            tgt_ref.at[:, pl.ds(v0, WV), pl.ds(u0, WU)], win, sem
-        )
-        cp.start()
-        cp.wait()
+            i_s = src_ref[0]
+            d_s = src_ref[1]
+            gx = src_ref[2]
+            gy = src_ref[3]
+            gdx = src_ref[4]
+            gdy = src_ref[5]
 
-        wv = vt - v0.astype(jnp.float32)
-        wu = ut - u0.astype(jnp.float32)
-        inb = ((pz > P(20)) & (wv >= 0) & (wv < WV - 1) & (wu >= 0) & (wu < WU - 1)
-               & (ut >= 0) & (ut < width - 1) & (vt >= 0) & (vt < height - 1))
+            fx, fy, cx, cy = P(16), P(17), P(18), P(19)
+            z = d_s
+            xs = (us - cx) / fx * z
+            ys = (vs - cy) / fy * z
+            valid_s = (z > P(20)) & (z < P(21))
 
-        it_w = _window_sample_bilinear(win[0], wv, wu, inb, TV)
-        dt_w = _window_sample_bilinear(win[1], wv, wu, inb, TV)
+            px = Tp(0) * xs + Tp(1) * ys + Tp(2) * z + Tp(3)
+            py = Tp(4) * xs + Tp(5) * ys + Tp(6) * z + Tp(7)
+            pz = Tp(8) * xs + Tp(9) * ys + Tp(10) * z + Tp(11)
+            zs = jnp.maximum(pz, 1e-6)
+            ut = px / zs * fx + cx
+            vt = py / zs * fy + cy
 
-        r_i = it_w - i_s
-        r_d = dt_w - pz
-        valid = valid_s & inb & (dt_w > P(20)) & (jnp.abs(r_d) < P(22))
+            # window rows from THIS tile's warped v-bbox (no host/XLA
+            # pre-pass): align down to the DMA tiling and clip. The window
+            # spans the full image width, so there is no u origin.
+            ok0 = (z > P(20)) & (pz > P(20))
+            big = jnp.float32(1e9)
+            vmin = jnp.min(jnp.where(ok0, vt, big))
+            vmin = jnp.minimum(vmin, big - 1.0)
+            v0 = jnp.clip((jnp.floor(vmin / 8.0).astype(jnp.int32) - 1) * 8,
+                          0, hp - WV)
+            v0 = pl.multiple_of(v0, 8)
 
-        inv_z = 1.0 / zs
-        ju = (fx * inv_z, jnp.zeros_like(pz), -fx * px * inv_z * inv_z)
-        jv = (jnp.zeros_like(pz), fy * inv_z, -fy * py * inv_z * inv_z)
+            cp = pltpu.make_async_copy(
+                tgt_ref.at[:, pl.ds(v0, WV), :], win, sem
+            )
+            cp.start()
+            cp.wait()
 
-        def dp_dxi(jx, jy, jz):
-            return (jx, jy, jz,
-                    -jy * pz + jz * py,
-                    jx * pz - jz * px,
-                    -jx * py + jy * px)
+            wv = vt - v0.astype(jnp.float32)
+            inb0 = ((pz > P(20)) & (wv >= 0) & (wv < WV - 1)
+                    & (ut >= 0) & (ut < width - 1)
+                    & (vt >= 0) & (vt < height - 1))
 
-        # photometric rows (source-gradient swap)
-        jpi = tuple(gx * a + gy * b for a, b in zip(ju, jv))
-        J_i = dp_dxi(*jpi)
-        jpd = tuple(gdx * a + gdy * b for a, b in zip(ju, jv))
-        ez = (jnp.zeros_like(pz), jnp.zeros_like(pz), jnp.ones_like(pz))
-        J_d = dp_dxi(*(a - e for a, e in zip(jpd, ez)))
+            # each 128-lane u-group picks its own GW-wide sub-window from
+            # the row window (128-aligned dynamic VMEM slice) — same u
+            # margin as a per-tile window, but anchored per group
+            its, dts, inbs = [], [], []
+            for g in range(wp // 128):
+                sl = slice(g * 128, (g + 1) * 128)
+                utg = ut[:, sl]
+                okg = ok0[:, sl]
+                uming = jnp.minimum(jnp.min(jnp.where(okg, utg, big)),
+                                    big - 1.0)
+                u0g = jnp.clip(jnp.floor(uming / 128.0).astype(jnp.int32)
+                               * 128, 0, wp - GW)
+                u0g = pl.multiple_of(u0g, 128)
+                ulg = utg - u0g.astype(jnp.float32)
+                inbg = inb0[:, sl] & (ulg >= 0) & (ulg < GW - 1)
+                wvg = wv[:, sl]
+                itg, dtg = _window_sample_bilinear_pair(
+                    win[0, :, pl.ds(u0g, GW)], win[1, :, pl.ds(u0g, GW)],
+                    wvg, ulg, inbg, TV)
+                its.append(itg)
+                dts.append(dtg)
+                inbs.append(inbg)
+            it_w = jnp.concatenate(its, axis=1)
+            dt_w = jnp.concatenate(dts, axis=1)
+            inb = jnp.concatenate(inbs, axis=1)
 
-        s_i, s_d, delta = P(23), P(24), P(25)
-        vf = valid.astype(jnp.float32)
+            r_i = it_w - i_s
+            r_d = dt_w - pz
+            valid = valid_s & inb & (dt_w > P(20)) & (jnp.abs(r_d) < P(22))
 
-        def huber(r, s):
-            a = jnp.abs(r * s)
-            return jnp.where(a <= delta, 1.0, delta / jnp.maximum(a, 1e-12))
+            inv_z = 1.0 / zs
+            ju = (fx * inv_z, jnp.zeros_like(pz), -fx * px * inv_z * inv_z)
+            jv = (jnp.zeros_like(pz), fy * inv_z, -fy * py * inv_z * inv_z)
 
-        w_i = huber(r_i, s_i) * vf
-        w_d = huber(r_d, s_d) * vf
-        w_i = w_i * P(26)  # term switches: 1/0
-        w_d = w_d * P(27)
-        wi2 = w_i * w_i * s_i * s_i
-        wd2 = w_d * w_d * s_d * s_d
+            def dp_dxi(jx, jy, jz):
+                return (jx, jy, jz,
+                        -jy * pz + jz * py,
+                        jx * pz - jz * px,
+                        -jx * py + jy * px)
 
-        # reduce straight to the normal equations: place the 30 scalars on
-        # distinct lanes via one-hot masks (in-kernel scatter is unsupported)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        out = jnp.zeros((8, 128), jnp.float32)
+            # photometric rows (source-gradient swap)
+            jpi = tuple(gx * a + gy * b for a, b in zip(ju, jv))
+            J_i = dp_dxi(*jpi)
+            jpd = tuple(gdx * a + gdy * b for a, b in zip(ju, jv))
+            ez = (jnp.zeros_like(pz), jnp.zeros_like(pz), jnp.ones_like(pz))
+            J_d = dp_dxi(*(a - e for a, e in zip(jpd, ez)))
 
-        def put(out, k, val):
-            mask = (row == (k // 128)) & (lane == (k % 128))
-            return out + jnp.where(mask, val, 0.0)
+            s_i, s_d, delta = P(23), P(24), P(25)
+            vf = valid.astype(jnp.float32)
 
-        k = 0
-        for a in range(6):
-            for b in range(a, 6):
-                out = put(out, k, jnp.sum(J_i[a] * J_i[b] * wi2
-                                          + J_d[a] * J_d[b] * wd2))
+            def huber(r, s):
+                a = jnp.abs(r * s)
+                return jnp.where(a <= delta, 1.0, delta / jnp.maximum(a, 1e-12))
+
+            w_i = huber(r_i, s_i) * vf
+            w_d = huber(r_d, s_d) * vf
+            w_i = w_i * P(26)  # term switches: 1/0
+            w_d = w_d * P(27)
+            wi2 = w_i * w_i * s_i * s_i
+            wd2 = w_d * w_d * s_d * s_d
+
+            # reduce straight to the normal equations: place the 30 scalars
+            # on distinct lanes via one-hot masks (in-kernel scatter is
+            # unsupported)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            out = jnp.zeros((8, 128), jnp.float32)
+
+            def put(out, k, val):
+                mask = (row == (k // 128)) & (lane == (k % 128))
+                return out + jnp.where(mask, val, 0.0)
+
+            k = 0
+            for a in range(6):
+                for b in range(a, 6):
+                    out = put(out, k, jnp.sum(J_i[a] * J_i[b] * wi2
+                                              + J_d[a] * J_d[b] * wd2))
+                    k += 1
+            for a in range(6):
+                out = put(out, k, jnp.sum(J_i[a] * r_i * wi2
+                                          + J_d[a] * r_d * wd2))
                 k += 1
-        for a in range(6):
-            out = put(out, k, jnp.sum(J_i[a] * r_i * wi2 + J_d[a] * r_d * wd2))
+            out = put(out, k, jnp.sum(vf))
             k += 1
-        out = put(out, k, jnp.sum(vf))
-        k += 1
-        out = put(out, k, jnp.sum(jnp.where(valid, (r_i * s_i) ** 2
-                                            + (r_d * s_d) ** 2, 0.0)))
-        k += 1
-        out = put(out, k, jnp.sum(valid_s.astype(jnp.float32)))
-        out_ref[0] = out
+            out = put(out, k, jnp.sum(jnp.where(valid, (r_i * s_i) ** 2
+                                                + (r_d * s_d) ** 2, 0.0)))
+            k += 1
+            out = put(out, k, jnp.sum(valid_s.astype(jnp.float32)))
+            acc[:, :] = acc[:, :] + out
+
+        @pl.when(j == n_tiles)
+        def _solve():
+            s = lambda k: acc[0, k]
+            damp = P(28)
+            A = [[s(_JTJ_K[a][b]) + (damp if a == b else 0.0)
+                  for b in range(6)] for a in range(6)]
+            rhs = [-s(21 + a) for a in range(6)]
+            # Jacobi equilibration: odometry JtJ mixes pixel^2 (fx^2 ~ 1e5)
+            # and metric units, cond ~ 1e6+ — unpivoted f32 Cholesky alone
+            # loses ~cond*eps of the step. Symmetric diagonal scaling brings
+            # the solve back to XLA-LU accuracy for ~30 scalar ops.
+            d = [jax.lax.rsqrt(jnp.maximum(A[a][a], 1e-30)) for a in range(6)]
+            As = [[A[a][b] * d[a] * d[b] for b in range(6)] for a in range(6)]
+            rs = [rhs[a] * d[a] for a in range(6)]
+            ys = _chol_solve6(As, rs)
+            delta = [ys[a] * d[a] for a in range(6)]
+            okd = jnp.isfinite(delta[0])
+            for dcomp in delta[1:]:
+                okd = okd & jnp.isfinite(dcomp)
+            delta = [jnp.where(okd, dcomp, 0.0) for dcomp in delta]
+            E = _se3_exp_scalars(delta)
+            Tk = lambda r, c: pose[0, r * 4 + c]
+            Tn = [[E[r][0] * Tk(0, c) + E[r][1] * Tk(1, c)
+                   + E[r][2] * Tk(2, c) + (E[r][3] if c == 3 else 0.0)
+                   for c in range(4)] for r in range(3)]
+            n_valid = s(27)
+            fitness = n_valid / jnp.maximum(s(29), 1.0)
+            rmse = jnp.sqrt(s(28) / jnp.maximum(n_valid, 1.0))
+
+            pose_pairs = [(r * 4 + c, Tn[r][c]) for r in range(3)
+                          for c in range(4)]
+            lane1_ = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            prow = jnp.zeros((1, 128), jnp.float32)
+            for k, val in pose_pairs:
+                prow = prow + jnp.where(lane1_ == k, val, 0.0)
+            pose[:, :] = prow
+            orow = prow
+            for k, val in ((16, fitness), (17, rmse), (18, n_valid)):
+                orow = orow + jnp.where(lane1_ == k, val, 0.0)
+            row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            out_ref[:, :] = jnp.where(row8 == 0,
+                                      jnp.broadcast_to(orow, (8, 128)), 0.0)
 
     return kernel
 
 
+# JtJ upper-triangle packing: (a, b) -> flat k
+_JTJ_K = [[0] * 6 for _ in range(6)]
+_k = 0
+for _a in range(6):
+    for _b in range(_a, 6):
+        _JTJ_K[_a][_b] = _k
+        _JTJ_K[_b][_a] = _k
+        _k += 1
+
+
 @functools.lru_cache(maxsize=64)
-def _iteration_fn(intr: Intrinsics, cfg: OdometryConfig, lvl: int,
-                  interpret: bool):
-    """One GN iteration at pyramid level lvl: (T, tgt_planes, src_planes) -> T'."""
+def _level_fn(intr: Intrinsics, cfg: OdometryConfig, lvl: int, iters: int,
+              interpret: bool):
+    """All GN iterations at pyramid level lvl in ONE pallas_call:
+    (T, tgt_planes, src_planes) -> (T', fitness, rmse, n_valid)."""
     li = intr.scaled(1.0 / (1 << lvl))
     hp, wp = _pad_dims(li.height, li.width)
-    nti, ntj = hp // TV, wp // TU
-    n_tiles = nti * ntj
-    kernel = _make_kernel(cfg, ntj, li.width, li.height, hp, wp)
+    n_tiles = hp // TV
+    kernel = _make_level_kernel(cfg, n_tiles, li.width, li.height, hp, wp)
+
+    def src_map(i, j):
+        return (0, jnp.minimum(j, n_tiles - 1), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(n_tiles,),
+        grid=(iters, n_tiles + 1),
         in_specs=[
-            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # target planes (2, hp, wp)
-            pl.BlockSpec((6, TV, TU), lambda i: (0, i // ntj, i % ntj),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, TV, wp), src_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, WV, WU), jnp.float32),
+            pltpu.VMEM((2, WV, wp), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),   # accumulated normal eqs
+            pltpu.VMEM((1, 128), jnp.float32),   # current pose (3x4 flat)
             pltpu.SemaphoreType.DMA(()),
         ],
     )
 
-    def iteration(T, tgt_planes, src_planes, term_i, term_d):
+    def level(T, tgt_planes, src_planes, term_i, term_d):
         params = jnp.zeros((1, 32), jnp.float32)
         params = params.at[0, :12].set(T[:3, :4].reshape(-1))
         params = params.at[0, 16].set(li.fx).at[0, 17].set(li.fy)
@@ -261,39 +454,24 @@ def _iteration_fn(intr: Intrinsics, cfg: OdometryConfig, lvl: int,
         params = params.at[0, 24].set(1.0 / cfg.sigma_depth)
         params = params.at[0, 25].set(cfg.huber_delta)
         params = params.at[0, 26].set(term_i).at[0, 27].set(term_d)
+        params = params.at[0, 28].set(cfg.damping)
 
-        (tile_out,) = pl.pallas_call(
+        (out,) = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=(jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),),
+            out_shape=(jax.ShapeDtypeStruct((8, 128), jnp.float32),),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=10 * 1024 * 1024),
+                vmem_limit_bytes=64 * 1024 * 1024),
         )(params, tgt_planes, src_planes)
 
-        sums = jnp.sum(tile_out.reshape(n_tiles, 8 * 128), axis=0)  # (1024,)
-        JtJ = jnp.zeros((6, 6), jnp.float32)
-        k = 0
-        for a in range(6):
-            for b in range(a, 6):
-                JtJ = JtJ.at[a, b].set(sums[k]).at[b, a].set(sums[k])
-                k += 1
-        Jtr = sums[k : k + 6]
-        k += 6
-        n_valid = sums[k]
-        sq = sums[k + 1]
-        n_src = sums[k + 2]
+        row = out[0]
+        T_new = jnp.concatenate(
+            [row[:12].reshape(3, 4),
+             jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32)], axis=0)
+        return T_new, row[16], row[17], row[18]
 
-        delta = jnp.linalg.solve(
-            JtJ + cfg.damping * jnp.eye(6, dtype=jnp.float32), -Jtr)
-        okd = jnp.all(jnp.isfinite(delta))
-        delta = jnp.where(okd, delta, jnp.zeros_like(delta))
-        T_new = jnp.matmul(se3.se3_exp(delta), T, precision=_PP)
-        fitness = n_valid / jnp.maximum(n_src, 1)
-        rmse = jnp.sqrt(sq / jnp.maximum(n_valid, 1))
-        return T_new, fitness, rmse, n_valid
-
-    return iteration
+    return level
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "cfg", "interpret"))
@@ -334,15 +512,9 @@ def compute_odometry_tpu(intensity_s, depth_s, intensity_t, depth_t,
                                 padto(gdx), padto(gdy)])
         tgt_planes = jnp.stack([padto(i_t), padto(d_t)])
 
-        it_fn = _iteration_fn(intr, cfg, lvl, interpret)
-
-        def body(_, carry):
-            T, f, r, n = carry
-            T, f, r, n = it_fn(T, tgt_planes, src_planes, term_i, term_d)
-            return T, f, r, n
-
-        T, fitness, rmse, n_valid = jax.lax.fori_loop(
-            0, cfg.pyramid_iters[lvl], body, (T, fitness, rmse, n_valid))
+        lvl_fn = _level_fn(intr, cfg, lvl, cfg.pyramid_iters[lvl], interpret)
+        T, fitness, rmse, n_valid = lvl_fn(T, tgt_planes, src_planes,
+                                           term_i, term_d)
 
     return OdometryResult(T_target_source=T, fitness=fitness, rmse=rmse,
                           inliers=n_valid.astype(jnp.int32))

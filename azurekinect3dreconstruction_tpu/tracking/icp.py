@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from azurekinect3dreconstruction_tpu.config import RegistrationConfig
 from azurekinect3dreconstruction_tpu.core.camera import Intrinsics
+from azurekinect3dreconstruction_tpu.core import linalg
 from azurekinect3dreconstruction_tpu.core import se3
 from azurekinect3dreconstruction_tpu.ops.backproject import bilinear_sample, nearest_sample
 from azurekinect3dreconstruction_tpu.ops.image import sobel_gradients
@@ -126,7 +127,7 @@ def _gn_step(T, src_pts, src_int, src_mask, tgt: TargetMaps, intr: Intrinsics,
     r = jnp.concatenate(rows_r, axis=0)
     JtJ = jnp.matmul(J.T, J, precision=_PP)
     Jtr = jnp.matmul(J.T, r, precision=_PP)
-    delta = jnp.linalg.solve(JtJ + 1e-6 * jnp.eye(6, dtype=JtJ.dtype), -Jtr)
+    delta = linalg.solve_spd6(JtJ + 1e-6 * jnp.eye(6, dtype=JtJ.dtype), -Jtr)
     ok = jnp.all(jnp.isfinite(delta))
     delta = jnp.where(ok, delta, jnp.zeros_like(delta))
     T_new = jnp.matmul(se3.se3_exp(delta), T, precision=_PP)
@@ -229,7 +230,7 @@ def icp_grid(src_points, src_mask, tgt_points, tgt_normals, tgt_mask,
         Jw = J * w[:, None]
         JtJ = jnp.matmul(Jw.T, Jw, precision=_PP)
         Jtr = jnp.matmul(Jw.T, r * w, precision=_PP)
-        delta = jnp.linalg.solve(JtJ + 1e-6 * jnp.eye(6), -Jtr)
+        delta = linalg.solve_spd6(JtJ + 1e-6 * jnp.eye(6), -Jtr)
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
         T_new = jnp.matmul(se3.se3_exp(delta), T, precision=_PP)
         n_in = jnp.sum(ok.astype(jnp.int32))

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from azurekinect3dreconstruction_tpu.config import OdometryConfig
 from azurekinect3dreconstruction_tpu.core.camera import Intrinsics
+from azurekinect3dreconstruction_tpu.core import linalg
 from azurekinect3dreconstruction_tpu.core import se3
 from azurekinect3dreconstruction_tpu.ops.backproject import bilinear_sample
 from azurekinect3dreconstruction_tpu.ops.image import (
@@ -142,7 +143,7 @@ def _level_step(T, data, intr: Intrinsics, cfg: OdometryConfig):
     JtJ = jnp.matmul(J.T, J, precision=_PP)
     Jtr = jnp.matmul(J.T, r, precision=_PP)
 
-    delta = jnp.linalg.solve(JtJ + cfg.damping * jnp.eye(6, dtype=JtJ.dtype), -Jtr)
+    delta = linalg.solve_spd6(JtJ + cfg.damping * jnp.eye(6, dtype=JtJ.dtype), -Jtr)
     ok = jnp.all(jnp.isfinite(delta))
     delta = jnp.where(ok, delta, jnp.zeros_like(delta))
     T_new = jnp.matmul(se3.se3_exp(delta), T, precision=_PP)
