@@ -49,77 +49,59 @@ from azurekinect3dreconstruction_tpu.tracking.odometry import OdometryResult
 
 TV = 32   # tile rows; a tile spans the FULL padded image width (grid steps
           # have ~10 us fixed overhead on TPU, so fewer/fatter tiles win)
-WV = 64   # target window rows (origin 8-aligned; 32 rows of motion margin)
-GW = 256  # per-128-lane-group sampling window width (128 lanes of u margin)
+E = 24   # skew taps: per-group v-flow spread tolerance (rows)
+WV = TV + E  # per-group target window rows (origin 8-aligned)
+GW = 256  # per-128-lane-group window width (128 lanes of u margin)
 
 _PP = jax.lax.Precision.HIGHEST
 
 
 def _pad_dims(h: int, w: int) -> Tuple[int, int]:
-    hp = max(-(-h // TV) * TV, WV)
+    hp = max(-(-h // TV) * TV, 2 * TV)
     wp = max(-(-w // 128) * 128, GW)
     return hp, wp
 
 
-def _window_sample_bilinear_pair(winA, winB, v, u, inb, S):
-    """Bilinear sample of TWO (WV, GW) windows at the same float window
-    coords (v, u) in (S, 128) layout. Returns two (S, 128) f32 maps
-    (0 where ~inb).
+def _skew_sample_pair(winA, winB, e, u, inb, S):
+    """Bilinear sample of two (WV, GW) window refs at per-pixel row offset
+    ``e`` and window column ``u``, both (S, 128). The window is
+    SKEW-ANCHORED: pixel row s samples window rows s + e with e in [0, E)
+    — dense RGB-D flow varies slowly, so per-group anchoring keeps e tiny.
+    Each of the E candidate offsets d is a misaligned static row slice of
+    the window (2D refs only: slicing higher-rank scratch this way crashes
+    the Mosaic layout pass), weighted by the bilinear hat
+    max(0, 1 - |e - d|); all take_along_axis gathers run on (S, 128)
+    arrays. The naive alternative — broadcasting all window rows against
+    all pixel rows — moves WV/E times more data through the gather unit.
 
-    The v-interpolation is fused into the row reduction as a hat weight
-    w(r) = max(0, 1 - |v - r|) — nonzero for exactly the two bilinear rows
-    with exactly the bilinear weights — so each u-tap needs ONE broadcast +
-    take_along_axis + weighted reduce instead of two one-hot row selects.
-    Index and weight arrays are shared across the two channels: sampling is
-    ~95% of the kernel's time and this halves it twice over."""
+    Returns two (S, 128) f32 maps (0 where ~inb)."""
     u0 = jnp.floor(u)
     fu = u - u0
     iu0 = u0.astype(jnp.int32)
+    iu1 = iu0 + 1
+    il0 = jnp.clip(iu0, 0, 127)
+    ir0 = jnp.clip(iu0 - 128, 0, 127)
+    r0 = iu0 >= 128
+    il1 = jnp.clip(iu1, 0, 127)
+    ir1 = jnp.clip(iu1 - 128, 0, 127)
+    r1 = iu1 >= 128
 
-    def expand(x):
-        return jnp.broadcast_to(x[None], (WV, S, 128)).reshape(WV * S, 128)
+    accs = [jnp.zeros((S, 128), jnp.float32) for _ in range(4)]
+    for d in range(E):
+        wd = jnp.maximum(1.0 - jnp.abs(e - d), 0.0)
+        for c, wref in enumerate((winA, winB)):
+            wsl = wref[d : d + S, :]  # (S, GW) misaligned slice
+            wl = wsl[:, :128]
+            wr = wsl[:, 128:]
+            g0 = jnp.where(r0, jnp.take_along_axis(wr, ir0, axis=1),
+                           jnp.take_along_axis(wl, il0, axis=1))
+            g1 = jnp.where(r1, jnp.take_along_axis(wr, ir1, axis=1),
+                           jnp.take_along_axis(wl, il1, axis=1))
+            accs[2 * c] = accs[2 * c] + wd * g0
+            accs[2 * c + 1] = accs[2 * c + 1] + wd * g1
 
-    rr_f = (jax.lax.broadcasted_iota(jnp.int32, (WV * S, 128), 0) // S
-            ).astype(jnp.float32)
-    w = jnp.maximum(1.0 - jnp.abs(expand(v) - rr_f), 0.0)
-
-    def bigrows(win2):
-        # two-step slice-then-broadcast: fusing them into one indexing
-        # expression makes jax fold the slice into the take_along_axis
-        # gather, which Mosaic rejects (shape mismatch)
-        wl = win2[:, :128]
-        wr = win2[:, 128:]
-        bl = jnp.broadcast_to(wl[:, None, :], (WV, S, 128)).reshape(WV * S, 128)
-        br = jnp.broadcast_to(wr[:, None, :], (WV, S, 128)).reshape(WV * S, 128)
-        return bl, br
-
-    bigA = bigrows(winA)
-    bigB = bigrows(winB)
-
-    def utap(iu):
-        idx_l = expand(jnp.clip(iu, 0, 127))
-        idx_r = expand(jnp.clip(iu - 128, 0, 127))
-        right = expand(iu >= 128)
-
-        def sample(bl, br):
-            g = jnp.where(right, jnp.take_along_axis(br, idx_r, axis=1),
-                          jnp.take_along_axis(bl, idx_l, axis=1))
-            z = w * g
-            # log-tree row reduce: a linear 64-add chain is latency-bound
-            # (every add waits on the previous one); depth-6 halving folds
-            # keep the VPU pipeline full
-            h = WV // 2
-            while h >= 1:
-                z = z[: h * S] + z[h * S : 2 * h * S]
-                h //= 2
-            return z
-
-        return sample(*bigA), sample(*bigB)
-
-    a0A, a0B = utap(iu0)
-    a1A, a1B = utap(iu0 + 1)
-    valA = a0A * (1 - fu) + a1A * fu
-    valB = a0B * (1 - fu) + a1B * fu
+    valA = accs[0] * (1 - fu) + accs[1] * fu
+    valB = accs[2] * (1 - fu) + accs[3] * fu
     return jnp.where(inb, valA, 0.0), jnp.where(inb, valB, 0.0)
 
 
@@ -194,7 +176,13 @@ def _make_level_kernel(cfg: OdometryConfig, n_tiles: int,
     and each 128-lane u-group picks its own GW-wide sub-window (aligned
     dynamic VMEM slice) for the bilinear gather."""
 
-    def kernel(params_ref, tgt_ref, src_ref, out_ref, win, acc, pose, sem):
+    ngroups = wp // 128
+
+    def kernel(params_ref, tgt_ref, src_ref, out_ref, *scr):
+        # scr: ngroups*2 window buffers (2D — see _skew_sample_pair), then
+        # acc, pose, DMA semaphores
+        wins = scr[: 2 * ngroups]
+        acc, pose, sem = scr[2 * ngroups], scr[2 * ngroups + 1], scr[-1]
         it = pl.program_id(0)
         j = pl.program_id(1)
         P = lambda k: params_ref[0, k]
@@ -242,47 +230,63 @@ def _make_level_kernel(cfg: OdometryConfig, n_tiles: int,
             ut = px / zs * fx + cx
             vt = py / zs * fy + cy
 
-            # window rows from THIS tile's warped v-bbox (no host/XLA
-            # pre-pass): align down to the DMA tiling and clip. The window
-            # spans the full image width, so there is no u origin.
+            # per-128-lane-group windows, anchored on the group's own warped
+            # bbox: u origin from min warped column, v origin SKEWED by the
+            # group's min v-flow (window row for pixel row s is s + e with
+            # e in [0, E)). All DMAs start before any group is sampled.
             ok0 = (z > P(20)) & (pz > P(20))
             big = jnp.float32(1e9)
-            vmin = jnp.min(jnp.where(ok0, vt, big))
-            vmin = jnp.minimum(vmin, big - 1.0)
-            v0 = jnp.clip((jnp.floor(vmin / 8.0).astype(jnp.int32) - 1) * 8,
-                          0, hp - WV)
-            v0 = pl.multiple_of(v0, 8)
-
-            cp = pltpu.make_async_copy(
-                tgt_ref.at[:, pl.ds(v0, WV), :], win, sem
-            )
-            cp.start()
-            cp.wait()
-
-            wv = vt - v0.astype(jnp.float32)
-            inb0 = ((pz > P(20)) & (wv >= 0) & (wv < WV - 1)
-                    & (ut >= 0) & (ut < width - 1)
+            inb0 = ((pz > P(20)) & (ut >= 0) & (ut < width - 1)
                     & (vt >= 0) & (vt < height - 1))
+            # v-flow, materialized BEFORE the per-group lane slices: slicing
+            # a pure broadcasted-iota (vs) crashes the Mosaic layout pass
+            dv = vt - vs
 
-            # each 128-lane u-group picks its own GW-wide sub-window from
-            # the row window (128-aligned dynamic VMEM slice) — same u
-            # margin as a per-tile window, but anchored per group
-            its, dts, inbs = [], [], []
-            for g in range(wp // 128):
+            copies, origins = [], []
+            for g in range(ngroups):
                 sl = slice(g * 128, (g + 1) * 128)
-                utg = ut[:, sl]
                 okg = ok0[:, sl]
+                utg = ut[:, sl]
                 uming = jnp.minimum(jnp.min(jnp.where(okg, utg, big)),
                                     big - 1.0)
                 u0g = jnp.clip(jnp.floor(uming / 128.0).astype(jnp.int32)
                                * 128, 0, wp - GW)
                 u0g = pl.multiple_of(u0g, 128)
-                ulg = utg - u0g.astype(jnp.float32)
-                inbg = inb0[:, sl] & (ulg >= 0) & (ulg < GW - 1)
-                wvg = wv[:, sl]
-                itg, dtg = _window_sample_bilinear_pair(
-                    win[0, :, pl.ds(u0g, GW)], win[1, :, pl.ds(u0g, GW)],
-                    wvg, ulg, inbg, TV)
+                dvg = dv[:, sl]
+                dvming = jnp.clip(jnp.min(jnp.where(okg, dvg, big)),
+                                  -1e6, 1e6)
+                # target planes carry TV extra pad rows so the window never
+                # clips at the image bottom (clipping breaks skew alignment
+                # and masks the last tiles' pixels)
+                v0g = jnp.clip(j * TV
+                               + jnp.floor(dvming / 8.0).astype(jnp.int32) * 8,
+                               0, hp + TV - WV)
+                v0g = pl.multiple_of(v0g, 8)
+                cps = []
+                for c in range(2):
+                    cp = pltpu.make_async_copy(
+                        tgt_ref.at[c, pl.ds(v0g, WV), pl.ds(u0g, GW)],
+                        wins[2 * g + c], sem.at[g, c],
+                    )
+                    cp.start()
+                    cps.append(cp)
+                copies.append(cps)
+                origins.append((u0g, v0g))
+
+            sloc = jax.lax.broadcasted_iota(jnp.int32, (TV, 128), 0
+                                            ).astype(jnp.float32)
+            its, dts, inbs = [], [], []
+            for g in range(ngroups):
+                sl = slice(g * 128, (g + 1) * 128)
+                u0g, v0g = origins[g]
+                copies[g][0].wait()
+                copies[g][1].wait()
+                ulg = ut[:, sl] - u0g.astype(jnp.float32)
+                eg = vt[:, sl] - v0g.astype(jnp.float32) - sloc
+                inbg = (inb0[:, sl] & (ulg >= 0) & (ulg < GW - 1)
+                        & (eg >= 0) & (eg < E - 1))
+                itg, dtg = _skew_sample_pair(wins[2 * g], wins[2 * g + 1],
+                                             eg, ulg, inbg, TV)
                 its.append(itg)
                 dts.append(dtg)
                 inbs.append(inbg)
@@ -435,12 +439,13 @@ def _level_fn(intr: Intrinsics, cfg: OdometryConfig, lvl: int, iters: int,
             pl.BlockSpec((8, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, WV, wp), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.float32),   # accumulated normal eqs
-            pltpu.VMEM((1, 128), jnp.float32),   # current pose (3x4 flat)
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((WV, GW), jnp.float32)
+             for _ in range(2 * (wp // 128))]            # group windows (2D)
+            + [pltpu.VMEM((8, 128), jnp.float32),        # accumulated NEs
+               pltpu.VMEM((1, 128), jnp.float32),        # pose (3x4 flat)
+               pltpu.SemaphoreType.DMA((wp // 128, 2))]
+        ),
     )
 
     def level(T, tgt_planes, src_planes, term_i, term_d):
@@ -498,8 +503,8 @@ def compute_odometry_tpu(intensity_s, depth_s, intensity_t, depth_t,
         i_s, d_s = pyr_s[lvl]
         i_t, d_t = pyr_t[lvl]
 
-        def padto(a):
-            return jnp.pad(a, ((0, hp - a.shape[0]), (0, wp - a.shape[1])))
+        def padto(a, rows=hp):
+            return jnp.pad(a, ((0, rows - a.shape[0]), (0, wp - a.shape[1])))
 
         gx, gy = sobel_gradients(i_s)
         gdx, gdy = sobel_gradients(d_s)
@@ -510,7 +515,7 @@ def compute_odometry_tpu(intensity_s, depth_s, intensity_t, depth_t,
         gdy = jnp.where(okg, gdy, 0.0)
         src_planes = jnp.stack([padto(i_s), padto(d_s), padto(gx), padto(gy),
                                 padto(gdx), padto(gdy)])
-        tgt_planes = jnp.stack([padto(i_t), padto(d_t)])
+        tgt_planes = jnp.stack([padto(i_t, hp + TV), padto(d_t, hp + TV)])
 
         lvl_fn = _level_fn(intr, cfg, lvl, cfg.pyramid_iters[lvl], interpret)
         T, fitness, rmse, n_valid = lvl_fn(T, tgt_planes, src_planes,
