@@ -52,6 +52,11 @@ TV = 32   # tile rows; a tile spans the FULL padded image width (grid steps
 E = 24   # skew taps: per-group v-flow spread tolerance (rows)
 WV = TV + E  # per-group target window rows (origin 8-aligned)
 GW = 256  # per-128-lane-group window width (128 lanes of u margin)
+PT = 40  # target-plane TOP pad rows (8-aligned). Window origins anchored on
+         # in-bounds pixels satisfy dvming >= -(j*TV + TV - 1), so the
+         # 8-floored origin is >= -(TV + 6) = -38 > -PT and never clamps —
+         # without it, any upward v-flow in tile 0 (even f32 noise at
+         # identity) clipped the origin to 0 and dropped valid pixels.
 
 _PP = jax.lax.Precision.HIGHEST
 
@@ -242,10 +247,14 @@ def _make_level_kernel(cfg: OdometryConfig, n_tiles: int,
             # a pure broadcasted-iota (vs) crashes the Mosaic layout pass
             dv = vt - vs
 
+            # window anchoring uses IN-BOUNDS pixels only: out-of-frustum
+            # pixels (vt < 0 / ut < 0) can never be sampled but would drag
+            # the window origin away from the pixels that can
+            anc = ok0 & inb0
             copies, origins = [], []
             for g in range(ngroups):
                 sl = slice(g * 128, (g + 1) * 128)
-                okg = ok0[:, sl]
+                okg = anc[:, sl]
                 utg = ut[:, sl]
                 uming = jnp.minimum(jnp.min(jnp.where(okg, utg, big)),
                                     big - 1.0)
@@ -255,12 +264,13 @@ def _make_level_kernel(cfg: OdometryConfig, n_tiles: int,
                 dvg = dv[:, sl]
                 dvming = jnp.clip(jnp.min(jnp.where(okg, dvg, big)),
                                   -1e6, 1e6)
-                # target planes carry TV extra pad rows so the window never
-                # clips at the image bottom (clipping breaks skew alignment
-                # and masks the last tiles' pixels)
-                v0g = jnp.clip(j * TV
+                # target planes carry PT pad rows on TOP and TV on the
+                # bottom so the skew window never clips at either image
+                # edge (clipping breaks skew alignment and masks pixels:
+                # see PT above); v0g is in PADDED coordinates
+                v0g = jnp.clip(j * TV + PT
                                + jnp.floor(dvming / 8.0).astype(jnp.int32) * 8,
-                               0, hp + TV - WV)
+                               0, PT + hp + TV - WV)
                 v0g = pl.multiple_of(v0g, 8)
                 cps = []
                 for c in range(2):
@@ -282,7 +292,8 @@ def _make_level_kernel(cfg: OdometryConfig, n_tiles: int,
                 copies[g][0].wait()
                 copies[g][1].wait()
                 ulg = ut[:, sl] - u0g.astype(jnp.float32)
-                eg = vt[:, sl] - v0g.astype(jnp.float32) - sloc
+                # vt is in image coords, v0g in padded (top-pad PT) coords
+                eg = vt[:, sl] + PT - v0g.astype(jnp.float32) - sloc
                 inbg = (inb0[:, sl] & (ulg >= 0) & (ulg < GW - 1)
                         & (eg >= 0) & (eg < E - 1))
                 itg, dtg = _skew_sample_pair(wins[2 * g], wins[2 * g + 1],
@@ -503,8 +514,9 @@ def compute_odometry_tpu(intensity_s, depth_s, intensity_t, depth_t,
         i_s, d_s = pyr_s[lvl]
         i_t, d_t = pyr_t[lvl]
 
-        def padto(a, rows=hp):
-            return jnp.pad(a, ((0, rows - a.shape[0]), (0, wp - a.shape[1])))
+        def padto(a, rows=hp, top=0):
+            return jnp.pad(a, ((top, rows - top - a.shape[0]),
+                               (0, wp - a.shape[1])))
 
         gx, gy = sobel_gradients(i_s)
         gdx, gdy = sobel_gradients(d_s)
@@ -515,7 +527,8 @@ def compute_odometry_tpu(intensity_s, depth_s, intensity_t, depth_t,
         gdy = jnp.where(okg, gdy, 0.0)
         src_planes = jnp.stack([padto(i_s), padto(d_s), padto(gx), padto(gy),
                                 padto(gdx), padto(gdy)])
-        tgt_planes = jnp.stack([padto(i_t, hp + TV), padto(d_t, hp + TV)])
+        tgt_planes = jnp.stack([padto(i_t, PT + hp + TV, top=PT),
+                                padto(d_t, PT + hp + TV, top=PT)])
 
         lvl_fn = _level_fn(intr, cfg, lvl, cfg.pyramid_iters[lvl], interpret)
         T, fitness, rmse, n_valid = lvl_fn(T, tgt_planes, src_planes,
