@@ -33,7 +33,13 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so = os.path.join(_native_dir(), "libkinrt.so")
-    if not os.path.exists(so):
+    src = os.path.join(_native_dir(), "kinrt.cpp")
+    # rebuild when missing OR stale (a prebuilt .so from another arch/glibc
+    # or older than the source must never be silently loaded)
+    stale = (not os.path.exists(so)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(so)))
+    if stale:
         try:
             subprocess.run(["make", "-C", _native_dir()], check=True,
                            capture_output=True, timeout=120)

@@ -176,6 +176,22 @@ def optimize(graph: PoseGraph, max_iterations: int = 30,
     if n <= 1 or not graph.edges:
         return graph
 
+    def _edge_weight(e, r):
+        w = preference_loop_closure if e.uncertain else 1.0
+        # Huber on loop closures only (odometry edges are trusted)
+        if e.uncertain:
+            nr = np.linalg.norm(r)
+            if nr > huber_delta:
+                w *= huber_delta / nr
+        return w
+
+    def _robust_cost(cur_nodes):
+        c = 0.0
+        for e in graph.edges:
+            r, _, _ = _edge_residual(cur_nodes, e)
+            c += float(_edge_weight(e, r) * (r @ e.information @ r))
+        return c
+
     lam = 1e-4
     last_cost = np.inf
     for it in range(max_iterations):
@@ -184,13 +200,7 @@ def optimize(graph: PoseGraph, max_iterations: int = 30,
         cost = 0.0
         for e in graph.edges:
             r, J_s, J_t = _edge_residual(nodes, e)
-            w = preference_loop_closure if e.uncertain else 1.0
-            # Huber on loop closures only (odometry edges are trusted)
-            if e.uncertain:
-                nr = np.linalg.norm(r)
-                if nr > huber_delta:
-                    w *= huber_delta / nr
-            info = w * e.information
+            info = _edge_weight(e, r) * e.information
             cost += float(r @ info @ r)
             s6, t6 = 6 * e.source, 6 * e.target
             H[s6:s6 + 6, s6:s6 + 6] += J_s.T @ info @ J_s
@@ -212,11 +222,10 @@ def optimize(graph: PoseGraph, max_iterations: int = 30,
         new_nodes = [nodes[0]] + [
             nodes[i] @ _exp(delta[6 * (i - 1): 6 * i]) for i in range(1, n)
         ]
-        new_cost = 0.0
-        for e in graph.edges:
-            r, _, _ = _edge_residual(new_nodes, e)
-            w = preference_loop_closure if e.uncertain else 1.0
-            new_cost += float(w * (r @ e.information @ r))
+        # evaluate the candidate under the SAME robust (Huber-reweighted)
+        # objective as `cost` — comparing differently-weighted objectives
+        # can reject genuinely improving steps and stall LM early
+        new_cost = _robust_cost(new_nodes)
         if new_cost < cost:
             nodes = new_nodes
             lam = max(lam * 0.5, 1e-9)

@@ -123,7 +123,10 @@ def insert(table: HashTable, counter, new_keys, capacity_limit, max_probes: int 
     - ``counter``: scalar int32, number of allocated block slots so far.
     - ``vals``: per-query block slot (existing or newly allocated; MISS only
       if unresolved after max_probes or the pool is full).
-    - ``overflowed``: scalar bool — capacity_limit was hit this call.
+    - ``overflowed``: scalar bool — some key actually FAILED to get a slot
+      this call (pool full at claim time, or probe chain exhausted). A call
+      that merely fills the pool exactly, with every key allocated, does NOT
+      overflow.
 
     Lanes with ``new_keys == EMPTY_KEY`` are inert (use as padding).
     """
@@ -133,7 +136,7 @@ def insert(table: HashTable, counter, new_keys, capacity_limit, max_probes: int 
     pending = q != EMPTY_KEY
 
     def round_body(r, carry):
-        keys_arr, vals_arr, counter, out_vals, pending = carry
+        keys_arr, vals_arr, counter, out_vals, pending, dropped = carry
         slots = _probe_slot(q, r, cap)
         k_at = keys_arr[slots]
 
@@ -154,6 +157,7 @@ def insert(table: HashTable, counter, new_keys, capacity_limit, max_probes: int 
         alloc = counter + order
         ok = newly & (alloc < capacity_limit)
         # full pool: roll back the claim so the slot stays reusable
+        dropped = dropped | jnp.any(newly & ~ok)
         keys_arr = jnp.where(newly & ~ok, old_keys, keys_arr)
         vals_arr = jnp.where(ok, alloc, vals_arr)
         counter = jnp.minimum(counter + jnp.sum(newly.astype(jnp.int32)), capacity_limit)
@@ -164,10 +168,11 @@ def insert(table: HashTable, counter, new_keys, capacity_limit, max_probes: int 
         resolved = won & (got != MISS)
         out_vals = jnp.where(resolved, got, out_vals)
         pending = pending & ~resolved
-        return keys_arr, vals_arr, counter, out_vals, pending
+        return keys_arr, vals_arr, counter, out_vals, pending, dropped
 
-    keys_arr, vals_arr, counter, vals, pending = jax.lax.fori_loop(
-        0, max_probes, round_body, (table.keys, table.vals, counter, vals, pending)
+    keys_arr, vals_arr, counter, vals, pending, dropped = jax.lax.fori_loop(
+        0, max_probes, round_body,
+        (table.keys, table.vals, counter, vals, pending, jnp.asarray(False))
     )
-    overflowed = counter >= capacity_limit
+    overflowed = dropped | jnp.any(pending)
     return HashTable(keys_arr, vals_arr), counter, vals, overflowed

@@ -156,13 +156,22 @@ int framelog_close_read(void* handle) {
 // SPSC ring buffer (latest-wins frame channel)
 // ---------------------------------------------------------------------------
 
+// Single-writer discipline: the producer is the ONLY writer of `head`, the
+// consumer the ONLY writer of `tail` (an earlier revision let the producer
+// bump `tail` on drop-oldest — two writers to one index can lose the
+// consumer's drain). Overwrite safety comes from a per-slot seqlock: the
+// producer brackets each slot copy with seq = 2f+1 (writing) / 2f+2
+// (stable frame f), and the consumer re-checks the sequence after its
+// memcpy so a slot the producer lapped mid-read is detected and retried
+// instead of handed out torn.
 struct Ring {
-  std::atomic<uint64_t> head{0};  // next write
-  std::atomic<uint64_t> tail{0};  // next read
-  uint64_t dropped = 0;
+  std::atomic<uint64_t> head{0};     // next write; producer-only writer
+  std::atomic<uint64_t> tail{0};     // consumed-up-to; consumer-only writer
+  std::atomic<uint64_t> dropped{0};  // frames overwritten unread
   uint32_t capacity;
   size_t slot_bytes;
   unsigned char* data;
+  std::atomic<uint64_t>* seq;  // per-slot: 2f+1 = writing frame f, 2f+2 = stable
 };
 
 void* ring_create(uint32_t capacity, uint64_t slot_bytes) {
@@ -170,49 +179,69 @@ void* ring_create(uint32_t capacity, uint64_t slot_bytes) {
   rb->capacity = capacity;
   rb->slot_bytes = slot_bytes;
   rb->data = static_cast<unsigned char*>(malloc(size_t(capacity) * slot_bytes));
+  rb->seq = new std::atomic<uint64_t>[capacity]();
   if (!rb->data) {
+    delete[] rb->seq;
     delete rb;
     return nullptr;
   }
   return rb;
 }
 
-// Producer: copy one slot in. When full, overwrite the OLDEST (latest-wins:
-// the consumer always converges on fresh data; reference drops the newest
-// instead — keeping the newest is strictly better for live tracking).
+// Producer: copy one slot in, unconditionally advancing (latest-wins: when
+// full the oldest unread frame is overwritten; the reference drops the
+// NEWEST instead — keeping the newest is strictly better for live tracking).
 int ring_push(void* handle, const void* src) {
   auto* rb = static_cast<Ring*>(handle);
   uint64_t h = rb->head.load(std::memory_order_relaxed);
   uint64_t t = rb->tail.load(std::memory_order_acquire);
-  if (h - t >= rb->capacity) {
-    rb->tail.store(t + 1, std::memory_order_release);  // drop oldest
-    rb->dropped++;
-  }
+  if (h - t >= rb->capacity)
+    rb->dropped.fetch_add(1, std::memory_order_relaxed);
+  std::atomic<uint64_t>& s = rb->seq[h % rb->capacity];
+  s.store(2 * h + 1, std::memory_order_relaxed);
+  std::atomic_thread_fence(std::memory_order_release);  // seq-odd before data
   memcpy(rb->data + (h % rb->capacity) * rb->slot_bytes, src, rb->slot_bytes);
+  s.store(2 * h + 2, std::memory_order_release);        // data before seq-even
   rb->head.store(h + 1, std::memory_order_release);
   return 0;
 }
 
 // Consumer: drain to the newest available slot. Returns 1 if a frame was
-// copied out, 0 if empty.
+// copied out, 0 if empty (or the producer kept lapping the newest slot —
+// only possible at capacity 1 under sustained producer pressure; the caller
+// simply polls again).
 int ring_pop_latest(void* handle, void* dst) {
   auto* rb = static_cast<Ring*>(handle);
   uint64_t h = rb->head.load(std::memory_order_acquire);
   uint64_t t = rb->tail.load(std::memory_order_relaxed);
   if (t >= h) return 0;
-  uint64_t newest = h - 1;
-  memcpy(dst, rb->data + (newest % rb->capacity) * rb->slot_bytes, rb->slot_bytes);
-  rb->tail.store(h, std::memory_order_release);
-  return 1;
+  for (int attempt = 0; attempt < 64; ++attempt) {
+    uint64_t newest = h - 1;
+    std::atomic<uint64_t>& s = rb->seq[newest % rb->capacity];
+    uint64_t s1 = s.load(std::memory_order_acquire);
+    if (s1 == 2 * newest + 2) {
+      memcpy(dst, rb->data + (newest % rb->capacity) * rb->slot_bytes,
+             rb->slot_bytes);
+      std::atomic_thread_fence(std::memory_order_acquire);  // data before re-check
+      if (s.load(std::memory_order_relaxed) == s1) {
+        rb->tail.store(h, std::memory_order_release);
+        return 1;
+      }
+    }
+    // the producer lapped this slot — a fresher frame exists; chase it
+    h = rb->head.load(std::memory_order_acquire);
+  }
+  return 0;
 }
 
 uint64_t ring_dropped(void* handle) {
-  return static_cast<Ring*>(handle)->dropped;
+  return static_cast<Ring*>(handle)->dropped.load(std::memory_order_relaxed);
 }
 
 void ring_destroy(void* handle) {
   auto* rb = static_cast<Ring*>(handle);
   free(rb->data);
+  delete[] rb->seq;
   delete rb;
 }
 

@@ -84,6 +84,38 @@ def test_ring_latest_wins_threaded():
     assert got[-1] > got[0]
 
 
+def test_ring_never_tears_under_overwrite_pressure():
+    """The producer laps the ring constantly (tiny capacity, no throttling);
+    every popped frame must still be internally consistent — all lanes carry
+    the same frame id (the per-slot seqlock's whole job)."""
+    slot = np.zeros((256,), np.float32)
+    ring = native.NativeFrameRing(capacity=2, slot_bytes=slot.nbytes)
+    stop = threading.Event()
+
+    def producer():
+        i = 0
+        buf = np.empty((256,), np.float32)
+        while not stop.is_set():
+            buf[:] = i
+            ring.push(buf)
+            i += 1
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    out = np.zeros((256,), np.float32)
+    pops = 0
+    deadline = time.time() + 2.0
+    while time.time() < deadline:
+        if ring.pop_latest(out):
+            pops += 1
+            assert (out == out[0]).all(), f"torn frame at pop {pops}: " \
+                f"{np.unique(out)[:4]}..."
+    stop.set()
+    t.join()
+    assert ring.dropped > 0, "test must actually exercise overwrite"
+    ring.destroy()
+    assert pops > 100
+
+
 def test_native_ply_points_roundtrip(tmp_path):
     rng = np.random.RandomState(2)
     pts = rng.uniform(-1, 1, (500, 3)).astype(np.float32)

@@ -75,6 +75,30 @@ def test_capacity_limit_overflow():
     assert len(np.unique(resolved)) == len(resolved) or len(resolved) >= 100 * 0.9
 
 
+def test_exact_fill_is_not_overflow():
+    """Filling the pool to exactly its capacity with every key allocated must
+    NOT raise the overflow flag — only a key that actually failed to get a
+    slot does."""
+    coords = np.stack(np.meshgrid(np.arange(4), np.arange(4), np.arange(4)),
+                      axis=-1).reshape(-1, 3).astype(np.int32)  # 64 unique
+    keys = vhash.pack_key(jnp.asarray(coords))
+    table = vhash.HashTable.empty(1024)
+    table, counter, vals, ovf = vhash.insert(
+        table, jnp.zeros((), jnp.int32), keys, jnp.int32(64))
+    assert int(counter) == 64
+    assert (np.asarray(vals) >= 0).all()
+    assert not bool(ovf)
+    # one more NEW key with a full pool -> now it overflows
+    extra = vhash.pack_key(jnp.asarray([[9, 9, 9]], jnp.int32))
+    table, counter, vals, ovf = vhash.insert(table, counter, extra, jnp.int32(64))
+    assert bool(ovf)
+    assert int(counter) == 64
+    # re-inserting an EXISTING key with a full pool is a plain hit, no overflow
+    table, counter, vals, ovf = vhash.insert(table, counter, keys[:8], jnp.int32(64))
+    assert not bool(ovf)
+    assert (np.asarray(vals) >= 0).all()
+
+
 def test_empty_key_lanes_are_inert():
     table = vhash.HashTable.empty(256)
     keys = jnp.asarray([vhash.EMPTY_KEY] * 32, jnp.int32)
