@@ -5,22 +5,38 @@ cost of the reference's live loops — reference
 CodeThatWorks/1camera-detectsSceneChanges.py:277-291 re-extracts EVERY frame).
 
 XLA cannot produce dynamic-size meshes, so extraction is staged with fixed
-budgets (SURVEY.md §7.3 "marching cubes dynamic output"):
+budgets (SURVEY.md §7.3 "marching cubes dynamic output"). The staging is
+built around measured TPU cost asymmetries: element gathers/scatters run at
+~5-7 ns/element, XLA's row-gather emitter is ~4x slower on partial-tile row
+widths (21/25/32) than on 64/128 lanes, and a gather fused with either its
+producers or its consumers degrades ~2x vs one whose operand and results
+are materialized (hence the deliberate jit splits — see _extract_gather).
+Every bulk data movement below is a row gather, a cumsum, or an elementwise
+pass:
 
-A. **survey** — one pass over the *alive prefix* of the pool (block slots are
-   allocated densely, so "alive" is a static-size slice chosen from a ladder)
-   builds a (R+1)^3 padded corner grid per block. Interior corners are a
-   reshape; cross-block faces/edges/corner come from 7 slice-shaped gathers
-   through the neighbor hash (regular (R,R)/(R,)/scalar slices per block —
-   vector loads, not 817 scalar gathers). Each cell's 8-bit case and triangle
-   count follow elementwise; a prefix sum assigns output offsets.
-B. **compact** — active cells (ntri > 0) are scattered into a fixed-capacity
-   worklist. Typical scans activate ~1-3% of cells, so the expensive stage
-   only touches surface cells.
-C. **emit** — for worklist cells, interpolate the 12 edge intersections
-   (positions + packed colors), then compact per TRIANGLE by inverting the
-   output permutation (one int scatter) so the final vertex data moves as
-   gathers sized by the triangle budget — never as big scatters.
+A. **survey (dense, elementwise)** — corner-shifted views of tsdf/validity/
+   packed-color over the alive pool prefix (flat (E, R^3) layout; one-voxel
+   shifts = lane rolls + a boundary-plane injection from the 7 hash-neighbor
+   blocks, fetched as whole-row gathers). Produces per-cell case codes and
+   8 corner value/color planes — no (R+1)^3 padding, no per-cell gathers.
+B. **group compaction** — cells group into 64-cell runs CONTIGUOUS in the
+   pool layout (4 z-columns of a block), so group data moves by whole-row
+   gathers with zero transposes (4x4x4 bricks compact ~3x tighter but the
+   17 brick transposes cost ~65 ms — measured, not worth it). One small
+   scatter (E*R^3/64 inputs) builds the active-group worklist.
+C. **per-cell math (group-dense, elementwise)** — triangle counts + the 15
+   packed table edge ids via one bf16 one-hot MXU matmul against the
+   (16, 256) MC table (edge ids <= 13 and counts <= 5 are exact in bf16);
+   corner values/colors packed into a 21-word-per-cell payload, padded to
+   64 lanes for the fast row-gather path.
+D. **expansion (sorted, gather-free mapping)** — per-cell tri counts prefix-
+   sum to exclusive offsets; scattering each active cell's index at its
+   first-triangle position (<= one update per ACTIVE CELL) and cummax-
+   filling yields triangle->cell in one pass because cell indices increase
+   with output position. Per-triangle data then moves as ONE (max_tris, 64)
+   payload row gather (its own jit — see _extract_gather); edge fracs and
+   vertex positions/colors are reconstructed elementwise per triangle
+   vertex on flat (T,) arrays.
 
 The output is a triangle soup (vertex sharing is done host-side by
 ``weld_vertices`` when an indexed mesh is needed, e.g. for OBJ export).
@@ -105,16 +121,23 @@ def _corner_views(fields, R: int):
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_cells", "max_tris", "extract_blocks"))
-def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
-                        max_cells: int = 65536, max_tris: int = 131072,
-                        extract_blocks: int = None):
-    """Device-side extraction. Returns (vertices (3*max_tris,3), colors,
-    num_tris, overflow_flag). ``extract_blocks`` bounds the alive prefix
-    processed (blocks are allocated densely, so slots >= n_blocks are dead)."""
+def _extract_stage1(vol: TSDFVolume, cfg: TSDFConfig,
+                    max_cells: int, max_tris: int,
+                    extract_blocks: int = None):
+    """Stages A-D_map + payload build; returns (payload (Mc, 64), c_t,
+    total_tris, n_bricks). Split from stage 2 at a jit boundary ON PURPOSE:
+    the (max_tris, 64) row gather of stage 2 runs 2x faster when its operand
+    is a materialized buffer than when XLA fuses the payload producers into
+    the gather (measured 19 ms vs 43 ms at 1M rows) — the pipeline is ~20%
+    faster split than fused, pad copy included."""
     R = cfg.block_resolution
     N = vol.tsdf.shape[0]
     E = min(extract_blocks or N, N)
     C3 = R * R * R
+    B3 = min(64, C3)  # cells per group (contiguous in flat z-minor layout)
+    nb3 = C3 // B3  # groups per block
+    max_bricks = max(max_cells // B3, 1)
+    Mc = max_bricks * B3  # worklist cells (group-dense)
 
     t2 = vol.tsdf[:E].reshape(E, C3)
     w2 = vol.weight[:E].reshape(E, C3)
@@ -125,22 +148,34 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     # only exist if E < n_blocks, which the caller prevents)
     nbr = jnp.where(nbr < E, nbr, -1)
 
-    # ---- stage A: survey ---------------------------------------------------
+    # ---- stage A: dense corner fields (elementwise + whole-row gathers) ----
     inside0 = (t2 < 0.0) & (w2 > 0.0) & alive[:, None]
     valid0 = (w2 > 0.0) & alive[:, None]
+    # pack RGB into one f32 plane (exact for 24-bit ints): corner colors then
+    # ride the same shift machinery as values, one array per corner not three
+    cE = vol.color[:E]
+    pcol0 = (jnp.round(cE[:, 0] * 255.0) * 65536.0
+             + jnp.round(cE[:, 1] * 255.0) * 256.0
+             + jnp.round(cE[:, 2] * 255.0)).reshape(E, C3)
 
-    def nbr_field(base, code):
+    def nbr_field(base, code, fill):
         s = nbr[:, code]
         ok = (s >= 0) & alive
-        return jnp.where(ok[:, None], base[jnp.where(ok, s, 0)], False)
+        return jnp.where(ok[:, None], base[jnp.where(ok, s, 0)], fill)
 
     ins_f = {0: inside0}
     val_f = {0: valid0}
+    tv_f = {0: t2}
+    pc_f = {0: pcol0}
     for c in range(1, 8):
-        ins_f[c] = nbr_field(inside0, c)
-        val_f[c] = nbr_field(valid0, c)
+        ins_f[c] = nbr_field(inside0, c, False)
+        val_f[c] = nbr_field(valid0, c, False)
+        tv_f[c] = nbr_field(t2, c, jnp.float32(0.0))
+        pc_f[c] = nbr_field(pcol0, c, jnp.float32(0.0))
     ins_v = _corner_views(ins_f, R)
     val_v = _corner_views(val_f, R)
+    tv_v = _corner_views(tv_f, R)
+    pc_v = _corner_views(pc_f, R)
 
     case = jnp.zeros((E, C3), jnp.int32)
     all_valid = jnp.ones((E, C3), jnp.bool_)
@@ -150,147 +185,226 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
         all_valid = all_valid & val_v[key]
 
     # a cell has triangles iff its corners' signs are mixed: every case except
-    # 0 and 255 produces geometry — two compares, no table lookup, no gathers
-    active4 = all_valid & (case != 0) & (case != 255)
+    # 0 and 255 produces geometry — two compares, no table lookup, no gathers.
+    # Folding validity into the case (0 = inert) saves one worklist array.
+    casem = jnp.where(all_valid & (case != 255), case, 0)
 
-    # ---- stage B: compact active cells --------------------------------------
-    # two-level prefix sum: per-block scans run independently across sublanes;
-    # only the (E,) block totals need a global scan
-    active = active4.reshape(-1)
-    local = jnp.cumsum(active4.astype(jnp.int32), axis=1)  # (E, C3) inclusive
-    counts = local[:, -1]
-    offs = jnp.cumsum(counts) - counts  # exclusive block offsets
-    order = (local - 1 + offs[:, None]).reshape(-1)
-    n_active = offs[-1] + counts[-1]
-    dst = jnp.where(active & (order < max_cells), order, max_cells)
-    wl_cell = jnp.full((max_cells,), -1, jnp.int32)
-    cell_ids = jax.lax.broadcasted_iota(jnp.int32, (E * C3, 1), 0)[:, 0]
-    wl_cell = wl_cell.at[dst].set(cell_ids, mode="drop")
+    # ---- stage B: compact active GROUPS -------------------------------------
+    case_b = casem.reshape(E * nb3, B3)  # groups are contiguous: free reshape
+    brick_active = jnp.any(case_b != 0, axis=1)
+    border = jnp.cumsum(brick_active.astype(jnp.int32)) - 1
+    n_bricks = border[-1] + 1
+    bdst = jnp.where(brick_active & (border < max_bricks), border, max_bricks)
+    wl = jnp.full((max_bricks,), -1, jnp.int32)
+    bids = jax.lax.broadcasted_iota(jnp.int32, (E * nb3, 1), 0)[:, 0]
+    wl = wl.at[bdst].set(bids, mode="drop")
 
-    # ---- stage C: emit -------------------------------------------------------
-    # LAYOUT RULE: the worklist axis M stays MINOR everywhere. TPU tiles the
-    # last two dims to (8, 128); an (M, 15, 3) array pads 3 -> 128 lanes (42x
-    # memory blowup — gigabytes at M = 1M). With shapes like (12, 3, M) the
-    # padding is negligible.
-    live = wl_cell >= 0
-    cid = jnp.where(live, wl_cell, 0)
-    b = cid // C3
-    rem = cid % C3
-    ci = rem // (R * R)
-    cj = (rem // R) % R
-    ck = rem % R
+    # ---- stage C: group-dense per-cell math (row gathers + elementwise) -----
+    live_b = wl >= 0
+    wlc = jnp.where(live_b, wl, 0)
+    caseg = jnp.where(live_b[:, None], case_b[wlc], 0).reshape(Mc)
+    cv = [tv_v[tuple(mt.CORNER_OFFSETS[k])].reshape(E * nb3, B3)[wlc]
+          .reshape(Mc) for k in range(8)]
+    pc = [pc_v[tuple(mt.CORNER_OFFSETS[k])].reshape(E * nb3, B3)[wlc]
+          .reshape(Mc) for k in range(8)]
 
-    gi = _CORNERS[:, 0][:, None] + ci[None, :]  # (8, M)
-    gj = _CORNERS[:, 1][:, None] + cj[None, :]
-    gk = _CORNERS[:, 2][:, None] + ck[None, :]
-    # flat-index gathers (single index vector) lower to simpler TPU gathers
-    # than 4D advanced indexing; corner values come straight from the pool
-    # (boundary corners resolve through the neighbor slots — for active cells
-    # all_valid already guarantees the neighbors exist)
-    code = ((gi == R).astype(jnp.int32)
-            + 2 * (gj == R).astype(jnp.int32)
-            + 4 * (gk == R).astype(jnp.int32))
-    cslot = nbr[b[None, :], code]
-    cslot = jnp.where(cslot >= 0, cslot, 0)
-    clin = (gi % R) * R * R + (gj % R) * R + (gk % R)
-    vals = t2.reshape(-1)[cslot * C3 + clin]  # (8, M)
-    # pack RGB into one f32 (exact for 24-bit ints) -> one gather, not three
-    V = R * R * R
-    cE = vol.color[:E]
-    packed = (jnp.round(cE[:, 0] * 255.0) * 65536.0
-              + jnp.round(cE[:, 1] * 255.0) * 256.0
-              + jnp.round(cE[:, 2] * 255.0)).reshape(-1)  # (E*V,)
-    pcol = packed[cslot * V + clin]  # (8, M)
-    pr = jnp.floor(pcol / 65536.0)
-    pg = jnp.floor((pcol - pr * 65536.0) / 256.0)
-    pb_ = pcol - pr * 65536.0 - pg * 256.0
-    cols = jnp.stack([pr, pg, pb_]) / 255.0  # (3, 8, M)
+    # cell voxel coordinates (block coords are tiny element gathers, Gb-sized)
+    blk = wlc // nb3
+    cg = coords[blk]  # (Gb, 3)
+    # flat cell index within the block of group wlc, cell j: (wlc % nb3)*B3+j
+    rem = ((wlc % nb3) * B3)[:, None] + jnp.asarray(
+        np.arange(B3, dtype=np.int32))[None, :]  # (Gb, B3)
+    cellx = (cg[:, 0] * R)[:, None] + rem // (R * R)
+    celly = (cg[:, 1] * R)[:, None] + (rem // R) % R
+    cellz = (cg[:, 2] * R)[:, None] + rem % R
+    cellx = cellx.reshape(Mc)
+    celly = celly.reshape(Mc)
+    cellz = cellz.reshape(Mc)
 
-    mcase = jnp.zeros((max_cells,), jnp.int32)
-    for k in range(8):
-        mcase = mcase | ((vals[k] < 0.0).astype(jnp.int32) << k)
-
-    va = vals[_EDGE_A]  # (12, M)
-    vb = vals[_EDGE_B]
-    denom = va - vb
-    frac = va / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
-    frac = jnp.clip(frac, 0.0, 1.0)
-    cell0 = (coords[b].T * R + jnp.stack([ci, cj, ck])).astype(jnp.float32)  # (3, M)
-    ca = cols[:, _EDGE_A]  # (3, 12, M)
-    cb2 = cols[:, _EDGE_B]
-    ecol_ch = ca + frac[None] * (cb2 - ca)  # (3, 12, M)
-    # re-pack interpolated edge colors to one f32 (8 bits/channel — the
-    # source colors are u8, so this quantization is below source granularity);
-    # the emit stage then needs ONE color gather per vertex, not three
-    ecol_pk = (jnp.round(ecol_ch[0] * 255.0) * 65536.0
-               + jnp.round(ecol_ch[1] * 255.0) * 256.0
-               + jnp.round(ecol_ch[2] * 255.0))  # (12, M)
-
-    # tri_edges = TRI_TABLE[mcase] without gathers: the 256-case row select
-    # is an MXU matmul of the (15, 256) table against a bf16 one-hot of the
-    # case codes. Edge ids + 1 are <= 13, exact in bf16, so the product is
-    # exact; the MXU does in ~1 ms what a 256-step select loop did in ~33 ms.
-    onehot = (mcase[None, :] ==
+    # tri counts + the 15 packed table edge ids: TRI_TABLE[case] without
+    # gathers — one bf16 one-hot MXU matmul against the (16, 256) table
+    # (edge ids + 1 <= 13 and counts <= 5 are exact in bf16, so the product
+    # is exact; XLA fuses the one-hot into the matmul operand load).
+    onehot = (caseg[None, :] ==
               jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)).astype(jnp.bfloat16)
-    tab15 = (_TRI_TABLE.T + 1).astype(np.float32)  # (15, 256), 0 = "none"
-    tri_edges = jnp.dot(jnp.asarray(tab15, jnp.bfloat16), onehot,
-                        preferred_element_type=jnp.float32).astype(jnp.int32) - 1
+    tab16 = np.concatenate([( _TRI_TABLE.T + 1), _TRI_COUNT[None]], 0).astype(np.float32)
+    tout = jnp.dot(jnp.asarray(tab16, jnp.bfloat16), onehot,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)  # (16, Mc)
+    ntri = tout[15]
+    # pack the 15 edge ids (+1, 0 = none) as nibbles into two i32 words
+    pe0 = jnp.zeros((Mc,), jnp.int32)
+    pe1 = jnp.zeros((Mc,), jnp.int32)
+    for s in range(8):
+        pe0 = pe0 | (tout[s] << (4 * s))
+    for s in range(8, 15):
+        pe1 = pe1 | (tout[s] << (4 * (s - 8)))
 
-    # per-TRIANGLE compaction: a slot is real iff its first edge id >= 0
-    # (exact counts never needed — no TRI_COUNT table, no 8.4M prefix sums)
-    te = tri_edges.reshape(5, 3, max_cells)  # (tri-slot, vtx, M)
-    tri_valid = live[None, :] & (te[:, 0] >= 0)  # (5, M)
-    tv_flat = tri_valid.reshape(-1)
-    t_order = jnp.cumsum(tv_flat.astype(jnp.int32)) - 1
-    total_tris = t_order[-1] + 1
-    out_flat = jnp.where(tv_flat & (t_order < max_tris), t_order, max_tris)  # (5M,)
+    # ---- stage D_map: triangle -> cell without searchsorted ------------------
+    offs_inc = jnp.cumsum(ntri)
+    offs = offs_inc - ntri  # exclusive per-cell first-triangle position
+    total_tris = offs_inc[-1]
+    # triangle -> cell WITHOUT a searchsorted or per-slot scatter: write each
+    # active cell's index at its first-triangle position (one update per
+    # ACTIVE CELL) and cummax-fill — cell indices increase with position
+    has = ntri > 0
+    dstc = jnp.where(has & (offs < max_tris), offs, max_tris)
+    cstart = jnp.zeros((max_tris,), jnp.int32)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (Mc, 1), 0)[:, 0]
+    cstart = cstart.at[dstc].set(cidx, mode="drop")
+    c_t = jax.lax.cummax(cstart)  # (T,) source cell per triangle
 
-    # emit by INVERTING the compaction permutation: one int32 scatter builds
-    # inv (triangle -> source slot), then everything else is gathers sized by
-    # max_tris, not 5*max_cells. (The previous 9-row scatter emit moved
-    # 18 x 5M scattered f32 — 65% of total extraction time; this moves one
-    # 5M int scatter + ~13 x T gathered f32.) Each triangle's 3 edge ids ride
-    # as one packed int so the worklist payload is a single gather.
-    pe = ((te[:, 0] + 1) | ((te[:, 1] + 1) << 4) | ((te[:, 2] + 1) << 8))  # (5, M)
-    src_idx = jax.lax.broadcasted_iota(jnp.int32, (5 * max_cells, 1), 0)[:, 0]
-    inv = jnp.zeros((max_tris + 1,), jnp.int32)
-    inv = inv.at[out_flat].set(src_idx, mode="drop")[:max_tris]
-    m = inv % max_cells  # worklist cell of triangle t
-    pe_t = pe.reshape(-1)[inv]  # (T,) — 1 gather
-    ev = jnp.stack([pe_t & 0xF, (pe_t >> 4) & 0xF, (pe_t >> 8) & 0xF]) - 1
-    ev = jnp.maximum(ev, 0)  # (3, T) edge id per vertex (trash rows -> 0)
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    # columns: 0-7 corner tsdf values, 8-15 packed corner colors, 16-17 cell
+    # coords, 18-19 packed edge ids, 20 triangle offset. Edge fracs are NOT
+    # precomputed here: the 12 divisions at Mc density cost more than 3 at
+    # triangle density in stage 2 (which needs the corner values anyway).
+    payload = jnp.stack(
+        cv + pc + [
+            bc((cellx + 8192) | ((celly + 8192) << 14)),
+            bc(cellz + 8192),
+            bc(pe0), bc(pe1),
+            bc(offs),
+        ], axis=1)  # (Mc, 21)
+    # pad rows 21 -> 64: XLA's row-gather emitter is ~4x faster on 64-lane
+    # rows than on 21/32 (measured 15.7 ms vs 56 ms for 1M rows from a
+    # 4.2M-row source); the pad copy is one bandwidth pass
+    payload = jnp.pad(payload, ((0, 0), (0, 43)))
+    overflow1 = n_bricks > max_bricks
+    return payload, c_t, total_tris, overflow1
 
-    # positions are RECOMPUTED per triangle vertex from gathered frac + cell
-    # origin (same f32 expression as a per-edge precompute — bit-identical —
-    # but 6 gathers/triangle instead of 9, and no (12, 3, M) buffer). The
-    # edge-endpoint constants come from a 12-term mask-sum (VPU-cheap), never
-    # a gather. Output is directly tri-minor (vtx, xyz, T): no transpose,
-    # no scatter.
-    frac_t = frac.reshape(-1)[ev * max_cells + m[None, :]]  # (3, T)
-    cell0_t = cell0[:, m]  # (3, T)
-    pa_np = _CORNERS[_EDGE_A].astype(np.float32)  # (12, 3)
-    pb_np = _CORNERS[_EDGE_B].astype(np.float32)
-    pa_sel = jnp.zeros((3, 3, max_tris), jnp.float32)
-    pd_sel = jnp.zeros((3, 3, max_tris), jnp.float32)
-    for e in range(12):
-        sel = (ev == e)[:, None, :]
-        pa_sel = pa_sel + sel * pa_np[e][None, :, None]
-        pd_sel = pd_sel + sel * (pb_np[e] - pa_np[e])[None, :, None]
-    verts = ((cell0_t[None] + 0.5 + pa_sel + frac_t[:, None, :] * pd_sel)
-             * cfg.voxel_size)  # (3, 3, T)
-    cols_pk = ecol_pk.reshape(-1)[ev * max_cells + m[None, :]]  # (3, T)
-    cr = jnp.floor(cols_pk / 65536.0)
-    cg = jnp.floor((cols_pk - cr * 65536.0) / 256.0)
-    cb3 = cols_pk - cr * 65536.0 - cg * 256.0
-    vcols = jnp.stack([cr, cg, cb3], axis=1) / 255.0  # (3, 3, T)
+
+# packed edge-endpoint tables: corner ids (3 bits each) of EDGE_A/EDGE_B for
+# edges 0-7 in word 0, edges 8-11 in word 1 — lets stage 2 derive the vertex's
+# corner ids from its edge id with shifts instead of 12-term mask-sums
+_EA_PACK = (int(np.sum(_EDGE_A[:8] << (3 * np.arange(8)))),
+            int(np.sum(_EDGE_A[8:] << (3 * np.arange(4)))))
+_EB_PACK = (int(np.sum(_EDGE_B[:8] << (3 * np.arange(8)))),
+            int(np.sum(_EDGE_B[8:] << (3 * np.arange(4)))))
+
+
+@jax.jit
+def _extract_gather(payload, c_t):
+    """The (max_tris, 64) payload row gather, alone in its own jit: with the
+    operand AND the consumers on the far side of jit boundaries, XLA emits
+    the fast whole-row gather (~19 ms for 1M rows). Fused either way — with
+    the payload producers or with the column consumers — it degrades ~2x,
+    and optimization_barrier does NOT prevent that (measured)."""
+    return payload[c_t]
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_tris"))
+def _extract_stage2(pt, total_tris, overflow1, cfg: TSDFConfig,
+                    max_tris: int):
+    """Per-triangle expansion: elementwise vertex reconstruction from the
+    gathered (max_tris, 64) payload rows.
+
+    All elementwise work runs on flat (T,) arrays, one pass per triangle
+    vertex: a (3, T) layout would tile-pad 3 sublanes to 8 and waste 62% of
+    every VPU op on padding."""
+    bci = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+
+    t_iota = jnp.arange(max_tris, dtype=jnp.int32)
+    k_t = t_iota - bci(pt[:, 20])  # within-cell triangle slot
+    pe0_t = bci(pt[:, 18])
+    pe1_t = bci(pt[:, 19])
+    cw0 = bci(pt[:, 16])
+    cell0 = ((cw0 & 0x3FFF) - 8192).astype(jnp.float32)
+    cell1 = (((cw0 >> 14) & 0x3FFF) - 8192).astype(jnp.float32)
+    cell2 = (bci(pt[:, 17]) - 8192).astype(jnp.float32)
 
     num_tris = jnp.minimum(total_tris, max_tris).astype(jnp.int32)
-    overflow = (total_tris > max_tris) | (n_active > max_cells)
-    # zero the tail (unset inv slots gathered garbage from source slot 0)
-    tmask = (jnp.arange(max_tris, dtype=jnp.int32) < num_tris)[None, None, :]
-    # outputs stay M-minor: (vtx, xyz, tri). extract_mesh reorders on host.
-    return (jnp.where(tmask, verts, 0.0), jnp.where(tmask, vcols, 0.0),
-            num_tris, overflow)
+    overflow = (total_tris > max_tris) | overflow1
+    tmask = t_iota < num_tris
+
+    verts_rows = []
+    vcols_rows = []
+    for v in range(3):
+        # this vertex's edge id: nibble 3*k_t + v of the packed table row
+        sidx = 3 * k_t + v  # (T,)
+        nib = jnp.where(sidx < 8,
+                        jax.lax.shift_right_logical(pe0_t, 4 * jnp.clip(sidx, 0, 7)),
+                        jax.lax.shift_right_logical(pe1_t, 4 * jnp.clip(sidx - 8, 0, 6)))
+        ev = jnp.clip((nib & 0xF) - 1, 0, 11)  # (T,)
+
+        # endpoint corner ids from the packed tables (shifts, no mask-sums);
+        # the corner's (x, y, z) offset is its id's bit pattern (mc_tables
+        # corner k sits at ((k>>0)&1, (k>>1)&1, (k>>2)&1))
+        def corner_of(pack):
+            return jnp.where(
+                ev < 8,
+                jax.lax.shift_right_logical(pack[0], 3 * jnp.clip(ev, 0, 7)),
+                jax.lax.shift_right_logical(pack[1], 3 * jnp.clip(ev - 8, 0, 3)),
+            ) & 7
+        ca = corner_of(_EA_PACK)  # (T,) corner ids 0..7
+        cb = corner_of(_EB_PACK)
+
+        # endpoint tsdf values + packed colors, selected by corner id with a
+        # 7-op binary where-tree per value (an 8-term mask-sum costs ~2.5x
+        # more VPU work and overflows the fusion's register budget)
+        def sel8(c, base):
+            b0 = (c & 1) != 0
+            b1 = (c & 2) != 0
+            b2 = (c & 4) != 0
+            w = lambda m, hi, lo: jnp.where(m, hi, lo)
+            lo = w(b1, w(b0, pt[:, base + 3], pt[:, base + 2]),
+                   w(b0, pt[:, base + 1], pt[:, base + 0]))
+            hi = w(b1, w(b0, pt[:, base + 7], pt[:, base + 6]),
+                   w(b0, pt[:, base + 5], pt[:, base + 4]))
+            return w(b2, hi, lo)
+        va = sel8(ca, 0)
+        vb = sel8(cb, 0)
+        pca = sel8(ca, 8)
+        pcb = sel8(cb, 8)
+
+        # edge interpolation frac (same f32 expression as the parity ref)
+        denom = va - vb
+        frac = jnp.clip(va / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12),
+                        0.0, 1.0)
+
+        vert = jnp.stack([
+            (cell0 + 0.5 + (ca & 1) + frac * ((cb & 1) - (ca & 1))),
+            (cell1 + 0.5 + ((ca >> 1) & 1) + frac * (((cb >> 1) & 1) - ((ca >> 1) & 1))),
+            (cell2 + 0.5 + ((ca >> 2) & 1) + frac * (((cb >> 2) & 1) - ((ca >> 2) & 1))),
+        ]) * cfg.voxel_size  # (3, T)
+
+        def unpack(p):
+            r = jnp.floor(p * (1.0 / 65536.0))
+            g = jnp.floor((p - r * 65536.0) * (1.0 / 256.0))
+            b_ = p - r * 65536.0 - g * 256.0
+            return r, g, b_
+        ra, ga, ba = unpack(pca)
+        rb, gb, bb = unpack(pcb)
+        # note: / 255.0, not * (1/255): 255 is not a power of two, so the
+        # reciprocal differs by an ulp from the parity reference's division
+        vcol = jnp.stack([ra + frac * (rb - ra),
+                          ga + frac * (gb - ga),
+                          ba + frac * (bb - ba)]) / 255.0  # (3, T)
+
+        # zero the tail (cummax propagated the last cell into tail slots)
+        verts_rows.append(jnp.where(tmask[None], vert, 0.0))
+        vcols_rows.append(jnp.where(tmask[None], vcol, 0.0))
+
+    # outputs stay T-minor: (vtx, xyz, tri). extract_mesh reorders on host.
+    return (jnp.stack(verts_rows), jnp.stack(vcols_rows), num_tris, overflow)
+
+
+def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
+                        max_cells: int = 65536, max_tris: int = 131072,
+                        extract_blocks: int = None):
+    """Device-side extraction. Returns (vertices (3, 3, max_tris), colors,
+    num_tris, overflow_flag). ``extract_blocks`` bounds the alive prefix
+    processed (blocks are allocated densely, so slots >= n_blocks are dead).
+    ``max_cells`` budgets the worklist of 64-cell GROUPS (max_cells // 64
+    groups; groups are contiguous runs in the pool layout so all group data
+    moves as whole-row gathers with no transposes).
+
+    Three jitted dispatches (see _extract_stage1/_extract_gather for why);
+    no host syncs — all returned values stay on device."""
+    payload, c_t, total_tris, overflow1 = _extract_stage1(
+        vol, cfg, max_cells, max_tris, extract_blocks)
+    pt = _extract_gather(payload, c_t)
+    return _extract_stage2(pt, total_tris, overflow1, cfg=cfg,
+                           max_tris=max_tris)
 
 
 _TRIANGLE_IDX_CACHE = {}

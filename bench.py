@@ -70,7 +70,7 @@ def main():
     # marching-cubes extraction timing (the reference re-extracts per frame);
     # value-pull sync: block_until_ready does not reliably block through the
     # axon tunnel, and pulling full vertex buffers would time the network
-    mcells, mtris = 524288, 1048576
+    mcells, mtris = 4194304, 1048576  # max_cells budgets 64-cell groups
     v, c, n_tris, ovf = mc.extract_mesh_arrays(vol, cfg, max_cells=mcells,
                                                max_tris=mtris,
                                                extract_blocks=2048)
