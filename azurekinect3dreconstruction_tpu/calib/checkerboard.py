@@ -7,7 +7,10 @@ camera-1 -> camera-0 extrinsic (+ Rodrigues), and the calibration-pattern
 generator (generate_checkerboard.py:5-38).
 
 Calibration is a once-per-rig offline task (SURVEY.md §2.2): OpenCV on host
-is the right tool, gated so the rest of the framework runs without it.
+is the fast path when installed; without it every entry point falls back to
+the first-party numpy implementation in ``checkerboard_np`` (prototype-
+correlation corner detector + Zhang/LM calibration), so the capability is
+never dead code.
 """
 
 from __future__ import annotations
@@ -53,8 +56,9 @@ def find_corners(gray_or_rgb: np.ndarray, pattern: Tuple[int, int] = (9, 6)
     """Sub-pixel checkerboard corners ((N, 2) f32) or None."""
     cv2 = _cv2()
     if cv2 is None:
-        log_warning("cv2 not installed; checkerboard detection unavailable")
-        return None
+        from azurekinect3dreconstruction_tpu.calib import checkerboard_np as cbn
+
+        return cbn.find_corners_np(gray_or_rgb, pattern)
     img = np.asarray(gray_or_rgb)
     if img.ndim == 3:
         img = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
@@ -78,10 +82,8 @@ def calibrate_intrinsics(images: Sequence[np.ndarray],
                          square_size: float = 0.025
                          ) -> Optional[Tuple[Intrinsics, Distortion, float]]:
     """Single-camera intrinsics from checkerboard views
-    (cv2.calibrateCamera, reference :417)."""
+    (cv2.calibrateCamera, reference :417; numpy Zhang+LM fallback)."""
     cv2 = _cv2()
-    if cv2 is None:
-        return None
     objp = _object_points(pattern, square_size)
     obj_pts, img_pts = [], []
     shape = None
@@ -95,9 +97,20 @@ def calibrate_intrinsics(images: Sequence[np.ndarray],
     if len(obj_pts) < 3:
         log_warning(f"only {len(obj_pts)} usable checkerboard views")
         return None
-    rms, K, dist, _, _ = cv2.calibrateCamera(obj_pts, img_pts, shape, None, None)
-    d = dist.ravel()
-    d = np.concatenate([d, np.zeros(max(0, 8 - d.size))])[:8]
+    if cv2 is None:
+        from azurekinect3dreconstruction_tpu.calib import checkerboard_np as cbn
+
+        out = cbn.calibrate_intrinsics_np(
+            [p.reshape(-1, 2) for p in img_pts], objp, shape)
+        if out is None:
+            return None
+        K, d4, rms, _, _ = out
+        d = np.concatenate([d4[:2], d4[2:4], np.zeros(4)])  # k1 k2 p1 p2
+    else:
+        rms, K, dist, _, _ = cv2.calibrateCamera(obj_pts, img_pts, shape,
+                                                 None, None)
+        d = dist.ravel()
+        d = np.concatenate([d, np.zeros(max(0, 8 - d.size))])[:8]
     intr = Intrinsics(shape[0], shape[1], float(K[0, 0]), float(K[1, 1]),
                       float(K[0, 2]), float(K[1, 2]))
     # OpenCV order: k1 k2 p1 p2 k3 [k4 k5 k6]
@@ -114,10 +127,8 @@ def calibrate_stereo(images0: Sequence[np.ndarray], images1: Sequence[np.ndarray
                      pattern: Tuple[int, int] = (9, 6), square_size: float = 0.025
                      ) -> Optional[Tuple[np.ndarray, float]]:
     """Stereo extrinsic T mapping camera-1 coords into camera-0 coords
-    (cv2.stereoCalibrate + Rodrigues, reference :461-470)."""
+    (cv2.stereoCalibrate + Rodrigues, reference :461-470; numpy fallback)."""
     cv2 = _cv2()
-    if cv2 is None:
-        return None
     objp = _object_points(pattern, square_size)
     obj_pts, pts0, pts1 = [], [], []
     for i0, i1 in zip(images0, images1):
@@ -134,6 +145,19 @@ def calibrate_stereo(images0: Sequence[np.ndarray], images1: Sequence[np.ndarray
 
     def dvec(d: Distortion):
         return np.array([d.k1, d.k2, d.p1, d.p2, d.k3], np.float64)
+
+    if cv2 is None:
+        from azurekinect3dreconstruction_tpu.calib import checkerboard_np as cbn
+
+        out = cbn.calibrate_stereo_np(
+            [p.reshape(-1, 2) for p in pts0], [p.reshape(-1, 2) for p in pts1],
+            objp, intr0.matrix, dvec(dist0)[:4], intr1.matrix, dvec(dist1)[:4])
+        if out is None:
+            return None
+        T4, rms = out
+        log_info(f"stereo calibrated (numpy): rms {rms:.3f}px, baseline "
+                 f"{np.linalg.norm(T4[:3, 3]):.4f}m")
+        return T4, float(rms)
 
     rms, _, _, _, _, R, T, _, _ = cv2.stereoCalibrate(
         obj_pts, pts1, pts0, intr1.matrix, dvec(dist1), intr0.matrix, dvec(dist0),

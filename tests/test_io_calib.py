@@ -81,12 +81,14 @@ def test_checkerboard_generate_and_detect():
 
 
 def _render_board(K, T_board_cam, pattern=(9, 6), square=0.025, size=(640, 480)):
-    """Synthetic pinhole view of a checkerboard for calibration tests."""
-    import cv2
+    """Synthetic pinhole view of a checkerboard for calibration tests
+    (first-party homography + warp — no cv2 needed)."""
+    from azurekinect3dreconstruction_tpu.calib.checkerboard_np import (
+        find_homography,
+        warp_perspective,
+    )
 
     cols, rows = pattern
-    bw = (cols + 1) * 40 + 80
-    bh = (rows + 1) * 40 + 80
     board = generate_checkerboard(cols + 1, rows + 1, 40, 40)
     # board plane points (meters) of the board image corners
     w_m = (cols + 1) * square + 2 * square
@@ -98,12 +100,10 @@ def _render_board(K, T_board_cam, pattern=(9, 6), square=0.025, size=(640, 480))
     dst = uv[:, :2].astype(np.float32)
     src = np.array([[0, 0], [board.shape[1], 0],
                     [board.shape[1], board.shape[0]], [0, board.shape[0]]], np.float32)
-    H, _ = cv2.findHomography(src, dst)
-    return cv2.warpPerspective(board, H, size, borderValue=255)
+    H = find_homography(src, dst)
+    return warp_perspective(board, H, size, border=255)
 
 
-@pytest.mark.skipif(find_corners(generate_checkerboard()) is None,
-                    reason="cv2 unavailable")
 def test_synthetic_stereo_calibration():
     from azurekinect3dreconstruction_tpu.core import se3
 
