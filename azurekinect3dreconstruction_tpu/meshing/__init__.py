@@ -3,3 +3,4 @@ from azurekinect3dreconstruction_tpu.meshing.poisson import (
     mesh_with_fallback,
     poisson_mesh_from_cloud,
 )
+from azurekinect3dreconstruction_tpu.meshing.sampling import sample_points_uniformly

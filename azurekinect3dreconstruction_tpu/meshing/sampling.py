@@ -1,0 +1,63 @@
+"""Uniform surface sampling of triangle meshes (host-side numpy).
+
+Open3D ``TriangleMesh.sample_points_uniformly`` analog — the fragment
+pipeline registers 100k uniformly sampled mesh points with point-to-point
+ICP (reference azure-kinect-DK/Reconstruction/3Dreconstruction.py:118-122,
+mesh sampling; :112-135, registration) and the final scene is exported as a
+sampled cloud (:217-232).
+
+Sampling is area-weighted: triangle picked with probability proportional to
+its area, point placed by uniform barycentric coordinates (the sqrt trick).
+Host-side on purpose: sampling happens on already-extracted host meshes at
+save/register time, not in the per-frame device hot loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from azurekinect3dreconstruction_tpu.core.types import PointCloudHost, TriangleMeshHost
+
+
+def sample_points_uniformly(mesh: TriangleMeshHost, n: int = 100_000,
+                            seed: Optional[int] = 0) -> PointCloudHost:
+    """Area-uniform random samples on the mesh surface.
+
+    Returns a PointCloudHost with interpolated colors/normals when the mesh
+    carries them. ``seed=None`` uses nondeterministic entropy."""
+    v = np.asarray(mesh.vertices, np.float64)
+    t = np.asarray(mesh.triangles, np.int64)
+    if len(t) == 0:
+        return PointCloudHost(points=np.zeros((0, 3), np.float32))
+    p0, p1, p2 = v[t[:, 0]], v[t[:, 1]], v[t[:, 2]]
+    cross = np.cross(p1 - p0, p2 - p0)
+    area = 0.5 * np.linalg.norm(cross, axis=1)
+    total = area.sum()
+    if total <= 0:
+        return PointCloudHost(points=np.zeros((0, 3), np.float32))
+
+    rng = np.random.default_rng(seed)
+    tri = rng.choice(len(t), size=n, p=area / total)
+    # uniform barycentric: u = 1-sqrt(r1), v = r2*sqrt(r1)
+    r1 = np.sqrt(rng.random(n))
+    r2 = rng.random(n)
+    w0 = 1.0 - r1
+    w1 = r1 * (1.0 - r2)
+    w2 = r1 * r2
+
+    def interp(attr):
+        a0, a1, a2 = attr[t[tri, 0]], attr[t[tri, 1]], attr[t[tri, 2]]
+        return (w0[:, None] * a0 + w1[:, None] * a1 + w2[:, None] * a2)
+
+    pts = interp(v).astype(np.float32)
+    colors = None
+    if mesh.vertex_colors is not None:
+        colors = interp(np.asarray(mesh.vertex_colors, np.float64)).astype(np.float32)
+    normals = None
+    if mesh.vertex_normals is not None:
+        nrm = interp(np.asarray(mesh.vertex_normals, np.float64))
+        nn = np.linalg.norm(nrm, axis=1, keepdims=True)
+        normals = (nrm / np.maximum(nn, 1e-12)).astype(np.float32)
+    return PointCloudHost(points=pts, colors=colors, normals=normals)

@@ -3,11 +3,15 @@
 
 Pipeline parity: reference azure-kinect-DK/Reconstruction/3Dreconstruction.py
 (the documented 4-stage "Open3D reconstruction system" layout :1-7):
-``make_fragments`` builds a processed cloud per captured frame (:81-110),
-``register_fragments`` coarsely aligns each fragment to fragment 0 (:112-135,
-point-to-point on sampled clouds), ``refine_registration`` runs tighter
-point-to-plane ICP (:137-160), and ``integrate_scene`` fuses all frames into
-a TSDF with the estimated poses and extracts the mesh (:162-176).
+``make_fragments`` builds a processed cloud + surface mesh per captured
+frame (:81-110 — reference meshes each fragment with Poisson; here a
+single-frame TSDF + marching cubes plays that role, TPU-native),
+``register_fragments`` coarsely aligns each fragment to fragment 0 with
+POINT-TO-POINT ICP on 100k uniformly sampled mesh points (:112-135 uses
+``TransformationEstimationPointToPoint`` on ``sample_points_uniformly``
+clouds, :118-122), ``refine_registration`` runs tighter point-to-plane ICP
+(:137-160), and ``integrate_scene`` fuses all frames into a TSDF with the
+estimated poses and extracts the mesh (:162-176).
 """
 
 from __future__ import annotations
@@ -26,7 +30,7 @@ from azurekinect3dreconstruction_tpu.ops.neighbors import (
     remove_statistical_outliers,
     voxel_downsample_arrays,
 )
-from azurekinect3dreconstruction_tpu.tracking.icp import icp_grid
+from azurekinect3dreconstruction_tpu.tracking.icp import icp_grid, icp_point_to_point
 from azurekinect3dreconstruction_tpu.tsdf import marching_cubes as mc
 from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf
 from azurekinect3dreconstruction_tpu.utils.telemetry import log_info, log_warning
@@ -39,18 +43,23 @@ class Fragment:
         self.mask = mask
         self.normals = normals
         self.pose = np.eye(4)  # T_world_fragment
+        self.samples = None  # (S, 3) uniform mesh-surface samples (device)
+        self.sample_normals = None
 
 
 class FragmentPipeline:
     def __init__(self, intrinsics: Intrinsics,
                  config: Optional[PipelineConfig] = None, backend: str = "auto",
-                 downsample: float = 0.02, capacity: int = 16384):
+                 downsample: float = 0.02, capacity: int = 16384,
+                 mesh_fragments: bool = True, sample_points: int = 100_000):
         self.intr = intrinsics
         self.cfg = config or PipelineConfig()
         self.backend = backend
         self.rays = pixel_rays(intrinsics)
         self.downsample = downsample
         self.capacity = capacity
+        self.mesh_fragments = mesh_fragments
+        self.sample_points = sample_points
         self.captured: List[RGBDFrame] = []
         self.fragments: List[Fragment] = []
 
@@ -74,9 +83,37 @@ class FragmentPipeline:
             dm = remove_statistical_outliers(dp, dm, k=12, radius=3 * self.downsample)
             nrm = estimate_normals_knn(dp, dm, radius=3 * self.downsample, k=12,
                                        orient_to=np.zeros(3))
-            self.fragments.append(Fragment(f, dp, dm, nrm))
+            frag = Fragment(f, dp, dm, nrm)
+            if self.mesh_fragments:
+                self._mesh_fragment(frag)
+            self.fragments.append(frag)
         log_info(f"made {len(self.fragments)} fragments")
         return len(self.fragments)
+
+    def _mesh_fragment(self, frag: Fragment):
+        """Per-fragment surface mesh + uniform samples: the reference meshes
+        each fragment (Poisson, :97-108) and registers sampled points
+        (:118-122); here the surface comes from a single-frame TSDF +
+        marching cubes (the TPU-native mesher)."""
+        import dataclasses as _dc
+
+        from azurekinect3dreconstruction_tpu.meshing.sampling import (
+            sample_points_uniformly,
+        )
+
+        fcfg = _dc.replace(self.cfg.tsdf, voxel_size=max(
+            self.cfg.tsdf.voxel_size, self.downsample / 2), sdf_trunc=max(
+            self.cfg.tsdf.sdf_trunc, self.downsample))
+        vol = tsdf.create(fcfg)
+        vol = tsdf.integrate_frame(
+            vol, frag.frame.depth, frag.frame.color, self.rays,
+            jnp.eye(4, dtype=jnp.float32), self.intr, fcfg,
+            backend=self.backend)
+        mesh = mc.extract_mesh(vol, fcfg).compact()
+        mesh = mc.weld_vertices(mesh).compute_vertex_normals()
+        cloud = sample_points_uniformly(mesh, self.sample_points, seed=0)
+        frag.samples = jnp.asarray(cloud.points)
+        frag.sample_normals = jnp.asarray(cloud.normals)
 
     # stage 2+3: register + refine against fragment 0 (:112-160)
     def register_fragments(self, coarse_dist: float = 0.08,
@@ -84,12 +121,28 @@ class FragmentPipeline:
         if not self.fragments:
             self.make_fragments()
         base = self.fragments[0]
+        ones = None
         for i, frag in enumerate(self.fragments[1:], start=1):
-            coarse = icp_grid(frag.points, frag.mask, base.points, base.normals,
-                              base.mask, max_iters=30, dist_thr=coarse_dist)
-            fine = icp_grid(frag.points, frag.mask, base.points, base.normals,
-                            base.mask, init=coarse.T, max_iters=30,
-                            dist_thr=fine_dist)
+            if self.mesh_fragments and frag.samples is not None:
+                # reference register stage: POINT-TO-POINT on sampled mesh
+                # points (3Dreconstruction.py:112-135)
+                if ones is None:
+                    ones = jnp.ones((base.samples.shape[0],), jnp.bool_)
+                s_ones = jnp.ones((frag.samples.shape[0],), jnp.bool_)
+                coarse = icp_point_to_point(
+                    frag.samples, s_ones, base.samples, ones,
+                    max_iters=30, dist_thr=coarse_dist)
+                # refine stage: point-to-plane, tighter threshold (:137-160)
+                fine = icp_grid(frag.samples, s_ones, base.samples,
+                                base.sample_normals, ones, init=coarse.T,
+                                max_iters=30, dist_thr=fine_dist)
+            else:
+                coarse = icp_grid(frag.points, frag.mask, base.points,
+                                  base.normals, base.mask, max_iters=30,
+                                  dist_thr=coarse_dist)
+                fine = icp_grid(frag.points, frag.mask, base.points,
+                                base.normals, base.mask, init=coarse.T,
+                                max_iters=30, dist_thr=fine_dist)
             if float(fine.fitness) < 0.3:
                 log_warning(f"fragment {i}: low fitness {float(fine.fitness):.2f}")
             frag.pose = np.asarray(fine.T, np.float64)

@@ -243,6 +243,66 @@ def icp_grid(src_points, src_mask, tgt_points, tgt_normals, tgt_mask,
     return ICPResult(T=T, fitness=fit, inlier_rmse=rmse, inliers=n_in)
 
 
+@partial(jax.jit, static_argnames=("max_iters", "capacity", "max_per_cell"))
+def icp_point_to_point(src_points, src_mask, tgt_points, tgt_mask,
+                       init=None, max_iters: int = 30, dist_thr: float = 0.05,
+                       capacity: int = 16384, max_per_cell: int = 8) -> ICPResult:
+    """Point-to-point ICP between two unorganized clouds — the fragment
+    pipeline's registration mode (reference azure-kinect-DK/Reconstruction/
+    3Dreconstruction.py:112-135: ``registration_icp(...,
+    TransformationEstimationPointToPoint())`` on uniformly sampled mesh
+    points).
+
+    Per iteration: 1-NN correspondences through the voxel-grid hash, then
+    the closed-form weighted Kabsch update (centroid-centered covariance ->
+    3x3 SVD -> rotation with det fix) — Open3D's point-to-point estimator,
+    fixed-shape for XLA.
+    """
+    from azurekinect3dreconstruction_tpu.ops.neighbors import (
+        build_cell_lists,
+        knn_gather,
+    )
+
+    src = jnp.asarray(src_points, jnp.float32)
+    tgt = jnp.asarray(tgt_points, jnp.float32)
+    cells = build_cell_lists(tgt, tgt_mask, dist_thr, capacity, max_per_cell)
+    T0 = jnp.eye(4, dtype=jnp.float32) if init is None else jnp.asarray(init, jnp.float32)
+
+    def body(_, carry):
+        T, _stats = carry
+        p = se3.transform_points(T, src)
+        nn, dist = knn_gather(cells, tgt, p, src_mask, k=1, max_radius=dist_thr)
+        idx = nn[:, 0]
+        ok = src_mask & (idx >= 0)
+        w = ok.astype(jnp.float32)
+        q = tgt[jnp.where(ok, idx, 0)]
+        nw = jnp.maximum(jnp.sum(w), 1.0)
+        cp = jnp.sum(p * w[:, None], axis=0) / nw
+        cq = jnp.sum(q * w[:, None], axis=0) / nw
+        pc = (p - cp) * w[:, None]
+        qc = (q - cq) * w[:, None]
+        H = jnp.matmul(pc.T, qc, precision=_PP)  # (3,3)
+        u, _, vt = jnp.linalg.svd(H)
+        d = jnp.sign(jnp.linalg.det(jnp.matmul(vt.T, u.T, precision=_PP)))
+        S = jnp.diag(jnp.stack([1.0 + 0 * d, 1.0 + 0 * d, d]))
+        R = jnp.matmul(vt.T, jnp.matmul(S, u.T, precision=_PP), precision=_PP)
+        t = cq - R @ cp
+        ok_R = jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t))
+        dT = jnp.eye(4, dtype=jnp.float32)
+        dT = dT.at[:3, :3].set(jnp.where(ok_R, R, jnp.eye(3)))
+        dT = dT.at[:3, 3].set(jnp.where(ok_R, t, jnp.zeros(3)))
+        T_new = jnp.matmul(dT, T, precision=_PP)
+        n_in = jnp.sum(ok.astype(jnp.int32))
+        fit = n_in / jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1)
+        rmse = jnp.sqrt(jnp.sum(jnp.where(ok, dist[:, 0] ** 2, 0.0))
+                        / jnp.maximum(n_in, 1))
+        return T_new, (fit, rmse, n_in)
+
+    stats0 = (jnp.zeros(()), jnp.zeros(()), jnp.zeros((), jnp.int32))
+    T, (fit, rmse, n_in) = jax.lax.fori_loop(0, max_iters, body, (T0, stats0))
+    return ICPResult(T=T, fitness=fit, inlier_rmse=rmse, inliers=n_in)
+
+
 @partial(jax.jit, static_argnames=("capacity",))
 def evaluate_registration(src_points, src_mask, tgt_points, tgt_mask, T,
                           dist_thr: float = 0.02, capacity: int = 16384):

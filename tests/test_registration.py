@@ -117,3 +117,51 @@ def test_evaluate_registration_gates(cloud_pair):
     assert float(fit_good) > 0.9
     assert float(rmse_good) < 0.01
     assert float(fit_bad) < float(fit_good)
+
+
+def test_icp_point_to_point_recovers_pose(cloud_pair):
+    from azurekinect3dreconstruction_tpu.tracking.icp import icp_point_to_point
+
+    src, tgt, T_true = cloud_pair
+    mask = jnp.ones((src.shape[0],), bool)
+    xi = np.array([0.015, -0.01, 0.012, 0.025, -0.015, 0.02])
+    T_init = np.asarray(se3.se3_exp(jnp.asarray(xi, jnp.float32))) @ T_true
+    res = icp_point_to_point(jnp.asarray(src), mask, jnp.asarray(tgt), mask,
+                             init=jnp.asarray(T_init, jnp.float32),
+                             max_iters=30, dist_thr=0.06)
+    T = np.asarray(res.T)
+    d = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(T_true) @ T, jnp.float32)))
+    # identical point sets => point-to-point must converge essentially exactly
+    assert np.linalg.norm(d[:3]) < 2e-3 and np.linalg.norm(d[3:]) < 2e-3
+    assert float(res.fitness) > 0.9
+    # rotation stays orthonormal through the Kabsch chain
+    R = T[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_uniform_mesh_sampling_density():
+    from azurekinect3dreconstruction_tpu.core.types import TriangleMeshHost
+    from azurekinect3dreconstruction_tpu.meshing.sampling import (
+        sample_points_uniformly,
+    )
+
+    # two rectangles, one 4x the area of the other -> ~4x the samples
+    verts = np.array([
+        [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],      # unit square (z=0)
+        [2, 0, 0], [4, 0, 0], [4, 2, 0], [2, 2, 0],      # 2x2 square
+    ], np.float64)
+    tris = np.array([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], np.int32)
+    cols = np.zeros((8, 3))
+    cols[4:] = 1.0  # big square is white
+    mesh = TriangleMeshHost(vertices=verts, triangles=tris, vertex_colors=cols)
+    cloud = sample_points_uniformly(mesh, n=20000, seed=3)
+    assert len(cloud) == 20000
+    big = cloud.points[:, 0] >= 2.0
+    ratio = big.sum() / max((~big).sum(), 1)
+    assert 3.5 < ratio < 4.5, f"area weighting off: {ratio}"
+    # all samples on the z=0 plane and inside the rectangles
+    np.testing.assert_allclose(cloud.points[:, 2], 0, atol=1e-6)
+    # colors interpolate from the vertices they were sampled between
+    assert cloud.colors is not None
+    np.testing.assert_allclose(cloud.colors[big], 1.0, atol=1e-6)
+    np.testing.assert_allclose(cloud.colors[~big], 0.0, atol=1e-6)
