@@ -79,6 +79,97 @@ def create_sharded(cfg: TSDFConfig, mesh: Mesh) -> TSDFVolume:
     )
 
 
+def _fuse_shard(local: TSDFVolume, depth, color, pose, rays,
+                intr: Intrinsics, cfg: TSDFConfig, n_blk: int,
+                stride: int, samples: int, dedup_budget: int) -> TSDFVolume:
+    """Per-(cam, blk)-device fusion body (inside shard_map): allocate this
+    blk shard from ALL cameras' candidate keys (all_gather over cam), then
+    integrate my camera's frame into my shard and psum the observation sums
+    over cam. Shared by the fusion-only and SLAM sharded steps."""
+    my_blk = jax.lax.axis_index("blk")
+
+    # ---- allocation: candidates from ALL cameras ----------------
+    d = depth[::stride, ::stride]
+    r = rays[::stride, ::stride]
+    valid = d > 0
+    p = jnp.concatenate([r * d[..., None], d[..., None]], axis=-1)
+    offs = jnp.linspace(-cfg.sdf_trunc, cfg.sdf_trunc, samples,
+                        dtype=jnp.float32)
+    scale = 1.0 + offs[:, None, None] / jnp.maximum(d, 1e-6)[None]
+    pts = (p[None] * scale[..., None]).reshape(-1, 3)
+    world = se3.transform_points(pose, pts)
+    keys = vhash.pack_key(jnp.floor(world / cfg.block_size).astype(jnp.int32))
+    keys = jnp.where(jnp.tile(valid.reshape(-1), samples), keys,
+                     vhash.EMPTY_KEY)
+    # dedup my camera's keys, then gather every camera's dedup set
+    skeys = jnp.sort(keys)
+    first = jnp.concatenate(
+        [skeys[:1] != vhash.EMPTY_KEY,
+         (skeys[1:] != skeys[:-1]) & (skeys[1:] != vhash.EMPTY_KEY)])
+    order = jnp.cumsum(first.astype(jnp.int32)) - 1
+    dst = jnp.where(first & (order < dedup_budget), order, dedup_budget)
+    ukeys = jnp.full((dedup_budget,), vhash.EMPTY_KEY, jnp.int32).at[dst].set(
+        skeys, mode="drop")
+    all_keys = jax.lax.all_gather(ukeys, "cam").reshape(-1)
+    # keep only keys this blk shard owns
+    mine = (_owner(all_keys, n_blk) == my_blk) & (all_keys != vhash.EMPTY_KEY)
+    all_keys = jnp.where(mine, all_keys, vhash.EMPTY_KEY)
+    table, counter, vals, overflowed = vhash.insert(
+        local.table, local.n_blocks, all_keys,
+        jnp.int32(cfg.block_capacity - 1), max_probes=8)
+    idx = jnp.where(vals >= 0, vals, cfg.block_capacity)
+    bc2 = local.block_coords.at[idx].set(vhash.unpack_key(all_keys),
+                                         mode="drop")
+    local = local._replace(table_keys=table.keys, table_vals=table.vals,
+                           n_blocks=counter, block_coords=bc2,
+                           overflow=local.overflow | overflowed)
+
+    # ---- integration: my camera -> my shard; psum over cam -------
+    T_cw = se3.inverse(pose)
+    Nl = local.tsdf.shape[0]
+    Vl = cfg.block_resolution ** 3
+    t_v = local.tsdf.reshape(Nl, Vl)
+    w_v = local.weight.reshape(Nl, Vl)
+    c_v = local.color.reshape(Nl, 3, Vl)
+    pts_w = tsdf_volume.voxel_world_centers(local.block_coords, cfg)
+    pc = se3.transform_points(T_cw, pts_w.reshape(-1, 3)).reshape(pts_w.shape)
+    z = pc[..., 2]
+    zs = jnp.maximum(z, 1e-6)
+    u = pc[..., 0] / zs * intr.fx + intr.cx
+    v = pc[..., 1] / zs * intr.fy + intr.cy
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    inb = ((z > 1e-4) & (ui >= 0) & (vi >= 0)
+           & (ui < intr.width) & (vi < intr.height))
+    uic = jnp.clip(ui, 0, intr.width - 1)
+    vic = jnp.clip(vi, 0, intr.height - 1)
+    dsmp = depth[vic, uic]
+    sdf = dsmp - z
+    alive = jax.lax.broadcasted_iota(jnp.int32, (Nl, 1), 0) < local.n_blocks
+    upd = inb & (dsmp > 0) & (sdf > -cfg.sdf_trunc) & alive
+    tsdf_obs = jnp.minimum(sdf / cfg.sdf_trunc, 1.0)
+    csmp = jnp.swapaxes(color[vic, uic], 1, 2)  # (N, 3, V)
+
+    w_obs = upd.astype(jnp.float32)
+    dw = jax.lax.psum(w_obs, "cam")
+    dwt = jax.lax.psum(w_obs * tsdf_obs, "cam")
+    dwc = jax.lax.psum(w_obs[:, None, :] * csmp, "cam")
+    w_old = w_v
+    w_new = jnp.minimum(w_old + dw, cfg.max_integration_weight)
+    denom = jnp.maximum(w_old + dw, 1e-9)
+    t_new = jnp.where(dw > 0, (t_v * w_old + dwt) / denom, t_v)
+    c_new = jnp.where((dw > 0)[:, None, :],
+                      (c_v * w_old[:, None, :] + dwc) / denom[:, None, :],
+                      c_v)
+    return local._replace(tsdf=t_new.reshape(local.tsdf.shape),
+                          weight=w_new.reshape(local.weight.shape),
+                          color=c_new.reshape(local.color.shape))
+
+
+_VOL_SPECS = (P("blk"), P("blk"), P("blk"), P("blk"), P("blk"), P("blk"),
+              P("blk"), P("blk"))
+
+
 def make_sharded_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
                       stride: int = 4, samples: int = 3,
                       dedup_budget: int = 2048):
@@ -91,111 +182,22 @@ def make_sharded_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
     keys, then integrate its own camera's frame into its shard and psum the
     observation sums over cam.
     """
-    n_cam = mesh.shape["cam"]
     n_blk = mesh.shape["blk"]
-    R = cfg.block_resolution
 
     def step(vol: TSDFVolume, depths, colors, poses, rays):
         def shard_fn(tk, tv, nb, bc, ts, wg, co, ovf, depth, color, pose, rays):
-            # leading singleton shard dims
-            depth = depth[0]
-            color = color[0]
-            pose = pose[0]
-            nb = nb[0]
-            ovf = ovf[0]
-            my_blk = jax.lax.axis_index("blk")
-
-            local = TSDFVolume(tk, tv, nb, bc, ts, wg, co, ovf)
-
-            # ---- allocation: candidates from ALL cameras ----------------
-            d = depth[::stride, ::stride]
-            r = rays[::stride, ::stride]
-            valid = d > 0
-            p = jnp.concatenate([r * d[..., None], d[..., None]], axis=-1)
-            offs = jnp.linspace(-cfg.sdf_trunc, cfg.sdf_trunc, samples,
-                                dtype=jnp.float32)
-            scale = 1.0 + offs[:, None, None] / jnp.maximum(d, 1e-6)[None]
-            pts = (p[None] * scale[..., None]).reshape(-1, 3)
-            world = se3.transform_points(pose, pts)
-            keys = vhash.pack_key(jnp.floor(world / cfg.block_size).astype(jnp.int32))
-            keys = jnp.where(jnp.tile(valid.reshape(-1), samples), keys,
-                             vhash.EMPTY_KEY)
-            # dedup my camera's keys, then gather every camera's dedup set
-            skeys = jnp.sort(keys)
-            first = jnp.concatenate(
-                [skeys[:1] != vhash.EMPTY_KEY,
-                 (skeys[1:] != skeys[:-1]) & (skeys[1:] != vhash.EMPTY_KEY)])
-            order = jnp.cumsum(first.astype(jnp.int32)) - 1
-            dst = jnp.where(first & (order < dedup_budget), order, dedup_budget)
-            ukeys = jnp.full((dedup_budget,), vhash.EMPTY_KEY, jnp.int32).at[dst].set(
-                skeys, mode="drop")
-            all_keys = jax.lax.all_gather(ukeys, "cam").reshape(-1)
-            # keep only keys this blk shard owns
-            mine = (_owner(all_keys, n_blk) == my_blk) & (all_keys != vhash.EMPTY_KEY)
-            all_keys = jnp.where(mine, all_keys, vhash.EMPTY_KEY)
-            table, counter, vals, overflowed = vhash.insert(
-                local.table, local.n_blocks, all_keys,
-                jnp.int32(cfg.block_capacity - 1), max_probes=8)
-            idx = jnp.where(vals >= 0, vals, cfg.block_capacity)
-            bc2 = local.block_coords.at[idx].set(vhash.unpack_key(all_keys),
-                                                 mode="drop")
-            local = local._replace(table_keys=table.keys, table_vals=table.vals,
-                                   n_blocks=counter, block_coords=bc2,
-                                   overflow=ovf | overflowed)
-
-            # ---- integration: my camera -> my shard; psum over cam -------
-            T_cw = se3.inverse(pose)
-            Nl = local.tsdf.shape[0]
-            Vl = cfg.block_resolution ** 3
-            t_v = local.tsdf.reshape(Nl, Vl)
-            w_v = local.weight.reshape(Nl, Vl)
-            c_v = local.color.reshape(Nl, 3, Vl)
-            pts_w = tsdf_volume.voxel_world_centers(local.block_coords, cfg)
-            pc = se3.transform_points(T_cw, pts_w.reshape(-1, 3)).reshape(pts_w.shape)
-            z = pc[..., 2]
-            zs = jnp.maximum(z, 1e-6)
-            u = pc[..., 0] / zs * intr.fx + intr.cx
-            v = pc[..., 1] / zs * intr.fy + intr.cy
-            ui = jnp.round(u).astype(jnp.int32)
-            vi = jnp.round(v).astype(jnp.int32)
-            inb = ((z > 1e-4) & (ui >= 0) & (vi >= 0)
-                   & (ui < intr.width) & (vi < intr.height))
-            uic = jnp.clip(ui, 0, intr.width - 1)
-            vic = jnp.clip(vi, 0, intr.height - 1)
-            dsmp = depth[vic, uic]
-            sdf = dsmp - z
-            alive = jax.lax.broadcasted_iota(jnp.int32, (Nl, 1), 0) < local.n_blocks
-            upd = inb & (dsmp > 0) & (sdf > -cfg.sdf_trunc) & alive
-            tsdf_obs = jnp.minimum(sdf / cfg.sdf_trunc, 1.0)
-            csmp = jnp.swapaxes(color[vic, uic], 1, 2)  # (N, 3, V)
-
-            w_obs = upd.astype(jnp.float32)
-            sums = (
-                jax.lax.psum(w_obs, "cam"),
-                jax.lax.psum(w_obs * tsdf_obs, "cam"),
-                jax.lax.psum(w_obs[:, None, :] * csmp, "cam"),
-            )
-            dw, dwt, dwc = sums
-            w_old = w_v
-            w_new = jnp.minimum(w_old + dw, cfg.max_integration_weight)
-            denom = jnp.maximum(w_old + dw, 1e-9)
-            t_new = jnp.where(dw > 0, (t_v * w_old + dwt) / denom, t_v)
-            c_new = jnp.where((dw > 0)[:, None, :],
-                              (c_v * w_old[:, None, :] + dwc) / denom[:, None, :],
-                              c_v)
-
+            local = TSDFVolume(tk, tv, nb[0], bc, ts, wg, co, ovf[0])
+            local = _fuse_shard(local, depth[0], color[0], pose[0], rays,
+                                intr, cfg, n_blk, stride, samples, dedup_budget)
             return (local.table_keys, local.table_vals, local.n_blocks[None],
-                    local.block_coords, t_new.reshape(local.tsdf.shape),
-                    w_new.reshape(local.weight.shape),
-                    c_new.reshape(local.color.shape), local.overflow[None])
+                    local.block_coords, local.tsdf, local.weight, local.color,
+                    local.overflow[None])
 
-        specs_vol = (P("blk"), P("blk"), P("blk"), P("blk"), P("blk"), P("blk"),
-                     P("blk"), P("blk"))
         fn = jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=specs_vol + (P("cam"), P("cam"), P("cam"), P()),
-            out_specs=specs_vol,
+            in_specs=_VOL_SPECS + (P("cam"), P("cam"), P("cam"), P()),
+            out_specs=_VOL_SPECS,
             check_vma=False,
         )
 
@@ -205,6 +207,125 @@ def make_sharded_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
         return TSDFVolume(*out)
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_sharded_slam_batch(mesh: Mesh, intr: Intrinsics, pcfg,
+                            stride: int = 4, samples: int = 3,
+                            dedup_budget: int = 2048,
+                            min_fitness: float = 0.3):
+    """Multi-chip SLAM: every camera row TRACKS its own stream (hybrid GN
+    odometry, replicated over its blk columns — odometry is per-camera
+    independent, so the cam axis is pure data parallelism) while fusion
+    stays block-sharded with the same all_gather/psum pattern as
+    :func:`make_sharded_step`. One jitted dispatch scans a whole frame
+    batch; collectives run inside the scan on every step.
+
+    batch(vol, T0 (n_cam,4,4), intensities (n_cam,F,H,W),
+          depths (n_cam,F,H,W), colors (n_cam,F,H,W,3), rays)
+        -> (vol, poses (n_cam,F-1,4,4), fits (n_cam,F-1))
+
+    Frame 0 of each stream is the tracking reference (pose T0[cam]); frames
+    1..F-1 are tracked against their predecessor and integrated. Odometry is
+    the XLA pyramid solver (tracking.odometry) — backend-portable, so the
+    same step compiles on the CPU dryrun mesh and on real chips.
+    """
+    from azurekinect3dreconstruction_tpu.tracking.odometry import compute_odometry
+
+    n_blk = mesh.shape["blk"]
+    cfg = pcfg.tsdf
+    ocfg = pcfg.odometry
+
+    def batch(vol: TSDFVolume, T0, intensities, depths, colors, rays):
+        def shard_fn(tk, tv, nb, bc, ts, wg, co, ovf,
+                     T0c, intens, depth, color, rays):
+            local = TSDFVolume(tk, tv, nb[0], bc, ts, wg, co, ovf[0])
+            T0c = T0c[0]
+            intens = intens[0]
+            depth = depth[0]
+            color = color[0]
+
+            def body(carry, fr):
+                local, T_prev, prev_int, prev_depth = carry
+                inten, d, c = fr
+                res = compute_odometry(prev_int, prev_depth, inten, d, intr, ocfg)
+                ok = (res.fitness > min_fitness) & jnp.all(
+                    jnp.isfinite(res.T_target_source))
+                T_rel = jnp.where(ok, se3.inverse(res.T_target_source),
+                                  jnp.eye(4, dtype=jnp.float32))
+                T = jnp.matmul(T_prev, T_rel,
+                               precision=jax.lax.Precision.HIGHEST)
+                local2 = _fuse_shard(local, d, c, T, rays, intr, cfg, n_blk,
+                                     stride, samples, dedup_budget)
+                return (local2, T, inten, d), (T, res.fitness)
+
+            init = (local, jnp.asarray(T0c, jnp.float32), intens[0], depth[0])
+            (local, _, _, _), (poses, fits) = jax.lax.scan(
+                body, init, (intens[1:], depth[1:], color[1:]))
+            return (local.table_keys, local.table_vals, local.n_blocks[None],
+                    local.block_coords, local.tsdf, local.weight, local.color,
+                    local.overflow[None], poses[None], fits[None])
+
+        fn = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=_VOL_SPECS + (P("cam"), P("cam"), P("cam"), P("cam"), P()),
+            out_specs=_VOL_SPECS + (P("cam"), P("cam")),
+            check_vma=False,
+        )
+        out = fn(vol.table_keys, vol.table_vals, vol.n_blocks, vol.block_coords,
+                 vol.tsdf, vol.weight, vol.color, vol.overflow,
+                 T0, intensities, depths, colors, rays)
+        return TSDFVolume(*out[:8]), out[8], out[9]
+
+    return jax.jit(batch, donate_argnums=(0,))
+
+
+def combine_shards(vol: TSDFVolume, cfg: TSDFConfig, n_blk: int) -> TSDFVolume:
+    """Merge the disjoint per-shard sub-volumes into ONE standard TSDFVolume.
+
+    Extraction needs each cell's +1 neighbors, which for shard-boundary
+    blocks live on OTHER shards — per-shard extraction would triangulate
+    those cells against missing data (seams). Combining first gives the
+    extractor the full neighborhood, so the result is cell-identical to a
+    single-device volume holding the same blocks. The alive prefix of each
+    shard's pool is compacted host-side (extraction is a host-facing save /
+    view operation already) and the hash is rebuilt on device with
+    ``build_table`` mapping every key to its combined pool slot.
+    """
+    capN = cfg.block_capacity
+    nb = np.asarray(vol.n_blocks).reshape(-1)
+    assert nb.shape[0] == n_blk
+
+    def segs(a, cap):
+        an = np.asarray(a)
+        return np.concatenate(
+            [an[i * cap: i * cap + int(nb[i])] for i in range(n_blk)], axis=0)
+
+    coords = segs(vol.block_coords, capN)
+    total = coords.shape[0]
+    N = capN * n_blk
+
+    def pad(a):
+        out = np.zeros((N,) + a.shape[1:], a.dtype)
+        out[:total] = a
+        return jnp.asarray(out)
+
+    keys = np.full((N,), vhash.EMPTY_KEY, np.int32)
+    keys[:total] = np.asarray(vhash.pack_key(jnp.asarray(coords)))
+    table, ok = vhash.build_table(jnp.asarray(keys),
+                                  jnp.arange(N, dtype=jnp.int32),
+                                  capacity=cfg.hash_capacity * n_blk)
+    assert bool(ok), "combined hash table failed to place every key"
+    return TSDFVolume(
+        table_keys=table.keys,
+        table_vals=table.vals,
+        n_blocks=jnp.asarray(total, jnp.int32),
+        block_coords=pad(coords),
+        tsdf=pad(segs(vol.tsdf, capN)),
+        weight=pad(segs(vol.weight, capN)),
+        color=pad(segs(vol.color, capN)),
+        overflow=jnp.asarray(bool(np.asarray(vol.overflow).any())),
+    )
 
 
 def gather_volume(vol: TSDFVolume, cfg: TSDFConfig, shard: int, n_blk: int) -> TSDFVolume:

@@ -54,14 +54,14 @@ class DualCameraFusion:
 
     def __init__(self, intrinsics: Tuple[Intrinsics, Intrinsics],
                  config: Optional[PipelineConfig] = None,
-                 backend: str = "auto", output_dir: str = "results"):
+                 backend: str = "auto", output_dir: str = "results",
+                 sharded: bool = False):
         self.intr = list(intrinsics)
         self.cfg = config or PipelineConfig()
         self.backend = backend
         self.rays = [pixel_rays(i) for i in self.intr]
         # camera 0 defines the world frame; extrinsics[i] = T_world_cam_i
         self.extrinsics = [np.eye(4), None]
-        self.volume = tsdf.create(self.cfg.tsdf)
         self.calibrated = False
         self.color_mode = "rgb"
         self.telemetry = Telemetry()
@@ -69,6 +69,31 @@ class DualCameraFusion:
         self._key = jax.random.PRNGKey(7)
         self.frame_index = 0
         self._last_frames: List[Optional[RGBDFrame]] = [None, None]
+
+        # sharded execution mode (SURVEY.md §2.3's prescribed design):
+        # camera-per-mesh-row, volume block-sharded over the remaining
+        # devices; collectives ride ICI inside one jitted step
+        self.sharded = False
+        if sharded:
+            from azurekinect3dreconstruction_tpu.parallel import sharded_volume as sv
+
+            n_dev = len(jax.devices())
+            if n_dev < 2:
+                log_warning(f"sharded dual fusion needs >= 2 devices, "
+                            f"have {n_dev}; falling back to single-device")
+            elif self.intr[0] != self.intr[1]:
+                log_warning("sharded dual fusion requires identical camera "
+                            "intrinsics; falling back to single-device")
+            else:
+                self._sv = sv
+                self.mesh = sv.make_mesh(2, n_dev // 2)
+                self.volume = sv.create_sharded(self.cfg.tsdf, self.mesh)
+                self._sharded_step = sv.make_sharded_step(
+                    self.mesh, self.intr[0], self.cfg.tsdf, stride=2)
+                self.sharded = True
+                log_info(f"sharded dual fusion: mesh cam=2 x blk={n_dev // 2}")
+        if not self.sharded:
+            self.volume = tsdf.create(self.cfg.tsdf)
 
     # -- calibration (reference calibrate_cameras :609-665) -------------------
     def calibrate(self, frames: Tuple[RGBDFrame, RGBDFrame],
@@ -147,14 +172,28 @@ class DualCameraFusion:
             self.calibrate(tuple(frames))
         poses = [self.extrinsics[0],
                  self.extrinsics[1] if self.calibrated else None]
-        for i, f in enumerate(frames):
-            if poses[i] is None:
-                continue
-            self.volume = tsdf.integrate_frame(
-                self.volume, f.depth, f.color, self.rays[i],
-                jnp.asarray(poses[i], jnp.float32), self.intr[i],
-                self.cfg.tsdf, backend=self.backend,
-            )
+        if self.sharded:
+            # one collective step fuses both cameras; until calibrated,
+            # camera 1 contributes nothing (zeroed depth = no valid pixels)
+            d1 = frames[1].depth if poses[1] is not None else jnp.zeros_like(
+                frames[1].depth)
+            p1 = poses[1] if poses[1] is not None else np.eye(4)
+            self.volume = self._sharded_step(
+                self.volume,
+                jnp.stack([frames[0].depth, d1]),
+                jnp.stack([frames[0].color, frames[1].color]),
+                jnp.stack([jnp.asarray(poses[0], jnp.float32),
+                           jnp.asarray(p1, jnp.float32)]),
+                self.rays[0])
+        else:
+            for i, f in enumerate(frames):
+                if poses[i] is None:
+                    continue
+                self.volume = tsdf.integrate_frame(
+                    self.volume, f.depth, f.color, self.rays[i],
+                    jnp.asarray(poses[i], jnp.float32), self.intr[i],
+                    self.cfg.tsdf, backend=self.backend,
+                )
         self.frame_index += 1
         self.telemetry.tick_frame()
         self.telemetry.maybe_report(
@@ -196,13 +235,22 @@ class DualCameraFusion:
         self.color_mode = self.COLOR_MODES[(i + 1) % len(self.COLOR_MODES)]
         return self.color_mode
 
+    def extraction_volume(self):
+        """The volume extraction should run on: in sharded mode, the shard
+        pools combined so boundary cells see their cross-shard neighbors
+        (seam-free — parallel.sharded_volume.combine_shards)."""
+        if self.sharded:
+            return self._sv.combine_shards(self.volume, self.cfg.tsdf,
+                                           self.mesh.shape["blk"])
+        return self.volume
+
     # -- save ('S' key; reference save_current_state :414-462) -----------------
     def save_current_state(self, poisson: bool = False) -> dict:
         paths = {}
         cloud = self.merged_cloud()
         if len(cloud):
             paths["pointcloud"] = self.saver.save_point_cloud(cloud, kind="merged")
-        mesh = mc.extract_mesh(self.volume, self.cfg.tsdf).compact()
+        mesh = mc.extract_mesh(self.extraction_volume(), self.cfg.tsdf).compact()
         mesh = mc.weld_vertices(mesh)
         mesh.compute_vertex_normals()
         paths["mesh"] = self.saver.save_mesh(mesh, kind="mesh", obj=True)

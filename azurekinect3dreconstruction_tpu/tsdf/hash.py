@@ -176,3 +176,32 @@ def insert(table: HashTable, counter, new_keys, capacity_limit, max_probes: int 
     )
     overflowed = dropped | jnp.any(pending)
     return HashTable(keys_arr, vals_arr), counter, vals, overflowed
+
+
+@partial(jax.jit, static_argnames=("capacity", "max_probes"))
+def build_table(keys, slot_vals, capacity: int, max_probes: int = 16
+                ) -> Tuple[HashTable, jax.Array]:
+    """Build a fresh table mapping UNIQUE ``keys[i] -> slot_vals[i]``
+    (explicit values instead of counter allocation — used when the pool
+    layout already exists, e.g. combining disjoint shard pools). Lanes with
+    ``keys == EMPTY_KEY`` are inert. Returns (table, ok_all)."""
+    q = jnp.asarray(keys, jnp.int32)
+    v = jnp.asarray(slot_vals, jnp.int32)
+    keys0 = jnp.full((capacity,), EMPTY_KEY, jnp.int32)
+    vals0 = jnp.full((capacity,), MISS, jnp.int32)
+    pending = q != EMPTY_KEY
+
+    def round_body(r, carry):
+        keys_arr, vals_arr, pending = carry
+        slots = _probe_slot(q, r, capacity)
+        k_at = keys_arr[slots]
+        want = pending & (k_at == EMPTY_KEY)
+        claim = jnp.where(want, slots, capacity)
+        keys_arr = keys_arr.at[claim].set(q, mode="drop")
+        won = pending & (keys_arr[slots] == q)
+        vals_arr = vals_arr.at[jnp.where(won, slots, capacity)].set(v, mode="drop")
+        return keys_arr, vals_arr, pending & ~won
+
+    keys_arr, vals_arr, pending = jax.lax.fori_loop(
+        0, max_probes, round_body, (keys0, vals0, pending))
+    return HashTable(keys_arr, vals_arr), ~jnp.any(pending)

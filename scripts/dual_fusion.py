@@ -67,6 +67,11 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     add_common_args(ap)
     ap.add_argument("--voxel", type=float, default=0.01)
+    ap.add_argument("--sharded", action="store_true",
+                    help="camera-per-device + block-sharded volume over a "
+                         "jax.sharding.Mesh (needs >= 2 devices; on one "
+                         "chip, pass --cpu with XLA_FLAGS=--xla_force_host_"
+                         "platform_device_count=N to exercise it)")
     args = ap.parse_args()
     apply_backend_overrides(args)
 
@@ -78,7 +83,7 @@ def main():
         registration=RegistrationConfig(ransac_hypotheses=2048),
     )
     pipe = DualCameraFusion((intr, intr), cfg, backend=args.backend,
-                            output_dir=args.output)
+                            output_dir=args.output, sharded=args.sharded)
     viewer = make_viewer(args, "dual-camera fusion")
     viewer.register_key("S", pipe.save_current_state, "save cloud + mesh")
     viewer.register_key("R", pipe.recalibrate, "recalibrate extrinsics (ICP)")
