@@ -3,6 +3,7 @@
 Every script accepts ``--source`` choosing the frame backend:
   synthetic            deterministic rendered scene (default; no hardware)
   replay:<dir>         npz frame-log replay (reference Depth2PC.py:224-303)
+  mkv:<file>           k4arecorder .mkv replay (pyk4a-gated)
   k4a[:device_id]      live Azure Kinect via pyk4a (if installed)
 so each reference workflow runs unchanged with or without a camera
 (SURVEY.md §4: replay is the first-class headless backend).
@@ -33,7 +34,7 @@ from azurekinect3dreconstruction_tpu.utils.telemetry import log_error, log_info
 
 def add_common_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--source", default="synthetic",
-                    help="synthetic | replay:<dir> | k4a[:device_id]")
+                    help="synthetic | replay:<dir> | mkv:<file> | k4a[:device_id]")
     ap.add_argument("--frames", type=int, default=60,
                     help="frame budget (synthetic/replay)")
     ap.add_argument("--scale", type=float, default=1.0,
@@ -73,6 +74,13 @@ def make_source(args) -> Tuple[Iterator[Tuple[np.ndarray, np.ndarray]], Intrinsi
                 else Intrinsics.azure_kinect_depth_nfov())
         if args.scale != 1.0:
             log_info("--scale ignored for replay sources")
+        return iter(src), intr
+    if spec.startswith("mkv:"):
+        from azurekinect3dreconstruction_tpu.io.mkv import MkvReplaySource
+
+        src = MkvReplaySource(spec.split(":", 1)[1], limit=args.frames or None)
+        intr = (src.calibration.color if src.calibration
+                else Intrinsics.fallback_from_size(1280, 720))
         return iter(src), intr
     if spec.startswith("k4a"):
         from azurekinect3dreconstruction_tpu.io.k4a_live import K4ALiveSource

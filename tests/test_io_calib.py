@@ -167,3 +167,13 @@ def test_telemetry_reports():
     line = t.maybe_report()
     assert line is not None
     assert "fps" in line and "events 3" in line and "stage" in line
+
+
+def test_mkv_replay_gating():
+    # pyk4a isn't installed here: the MKV source must degrade with a clear
+    # error, not crash at import
+    from azurekinect3dreconstruction_tpu.io import mkv
+
+    assert mkv.is_available() is False
+    with pytest.raises(RuntimeError, match="pyk4a"):
+        mkv.MkvReplaySource("/nonexistent.mkv")
