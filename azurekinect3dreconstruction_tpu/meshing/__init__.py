@@ -4,3 +4,4 @@ from azurekinect3dreconstruction_tpu.meshing.poisson import (
     poisson_mesh_from_cloud,
 )
 from azurekinect3dreconstruction_tpu.meshing.sampling import sample_points_uniformly
+from azurekinect3dreconstruction_tpu.meshing.sdf_mesh import sdf_mesh_from_cloud

@@ -92,10 +92,19 @@ def ball_pivot_mesh_from_cloud(cloud: PointCloudHost,
     return _from_o3d_mesh(mesh)
 
 
-def mesh_with_fallback(cloud: PointCloudHost, **kw) -> Optional[TriangleMeshHost]:
-    """Poisson -> ball-pivot fallback chain (reference
-    BetterVisualizerD2camerasWorks1Cam.py:426-444)."""
+def mesh_with_fallback(cloud: PointCloudHost, voxel: float = 0.01,
+                       **kw) -> Optional[TriangleMeshHost]:
+    """Poisson -> ball-pivot -> first-party SDF-splat fallback chain (the
+    reference chains Poisson -> ball-pivot,
+    BetterVisualizerD2camerasWorks1Cam.py:426-444; the SDF mesher makes the
+    capability Open3D-free)."""
     mesh = poisson_mesh_from_cloud(cloud, **kw)
     if mesh is None or mesh.triangles.shape[0] == 0:
         mesh = ball_pivot_mesh_from_cloud(cloud)
+    if mesh is None or mesh.triangles.shape[0] == 0:
+        from azurekinect3dreconstruction_tpu.meshing.sdf_mesh import (
+            sdf_mesh_from_cloud,
+        )
+
+        mesh = sdf_mesh_from_cloud(cloud, voxel=voxel)
     return mesh

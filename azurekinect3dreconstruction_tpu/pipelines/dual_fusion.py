@@ -254,6 +254,7 @@ class DualCameraFusion:
         mesh = mc.weld_vertices(mesh)
         mesh.compute_vertex_normals()
         paths["mesh"] = self.saver.save_mesh(mesh, kind="mesh", obj=True)
+        paths["preview"] = self.saver.save_preview(mesh)
         if poisson:
             from azurekinect3dreconstruction_tpu.meshing.poisson import (
                 poisson_mesh_from_cloud,

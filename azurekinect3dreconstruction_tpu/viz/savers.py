@@ -228,6 +228,16 @@ class ResultSaver:
         (write_obj_mesh if obj else write_ply_mesh)(latest, mesh)
         return p
 
+    def save_preview(self, mesh: TriangleMeshHost, kind: str = "preview") -> str:
+        """Shaded PNG preview of a mesh (first-party renderer — no GL/Open3D;
+        viz.render), dual-saved like every other artifact."""
+        from azurekinect3dreconstruction_tpu.viz.render import save_mesh_preview
+
+        p, latest = self._paths(kind, "png")
+        save_mesh_preview(mesh, p)
+        save_mesh_preview(mesh, latest)
+        return p
+
     def save_trajectory(self, poses: Sequence[np.ndarray], kind: str = "trajectory") -> str:
         """4x4 pose list -> text file, one flattened 4x4 per block (matches
         the reference's np.savetxt trajectory dumps)."""

@@ -104,7 +104,7 @@ def main():
     fps_steady = 1.0 / dt_steady
 
     # ---- marching-cubes extraction (slope-timed) ----------------------------
-    mcells, mtris = 6291456, 1048576  # max_cells budgets 64-cell groups
+    mcells, mtris = 5242880, 786432  # max_cells budgets 64-cell groups
     E = 4096 if n_blocks > 2048 else 2048
 
     def extract():

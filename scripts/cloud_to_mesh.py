@@ -3,7 +3,9 @@
 
 Entry-point parity: reference CodeThatKindaWorks/PointCloudToMesh.py —
 preprocess (downsample + outlier removal + normals) then Poisson with
-density-quantile culling, falling back to ball pivoting.
+density-quantile culling, falling back to ball pivoting. ``--method sdf``
+(or any run without Open3D) uses the first-party oriented-point SDF-splat
+mesher instead (meshing/sdf_mesh.py) — no Open3D required.
 """
 
 import argparse
@@ -33,6 +35,9 @@ def main():
     ap.add_argument("output", nargs="?", default=None, help="output .ply mesh")
     ap.add_argument("--voxel", type=float, default=0.01)
     ap.add_argument("--depth", type=int, default=9, help="Poisson depth")
+    ap.add_argument("--method", default="auto",
+                    choices=["auto", "poisson", "ballpivot", "sdf"],
+                    help="auto = Poisson -> ball-pivot -> sdf fallback chain")
     args = ap.parse_args()
 
     verts, cols, _ = read_ply(args.input)
@@ -55,9 +60,28 @@ def main():
                            normals=np.asarray(nr)[m])
     log_info(f"preprocessed -> {len(cloud)} points")
 
-    mesh = mesh_with_fallback(cloud, depth=args.depth)
+    if args.method == "sdf":
+        from azurekinect3dreconstruction_tpu.meshing.sdf_mesh import (
+            sdf_mesh_from_cloud,
+        )
+
+        mesh = sdf_mesh_from_cloud(cloud, voxel=args.voxel)
+    elif args.method == "poisson":
+        from azurekinect3dreconstruction_tpu.meshing.poisson import (
+            poisson_mesh_from_cloud,
+        )
+
+        mesh = poisson_mesh_from_cloud(cloud, depth=args.depth)
+    elif args.method == "ballpivot":
+        from azurekinect3dreconstruction_tpu.meshing.poisson import (
+            ball_pivot_mesh_from_cloud,
+        )
+
+        mesh = ball_pivot_mesh_from_cloud(cloud)
+    else:
+        mesh = mesh_with_fallback(cloud, voxel=args.voxel, depth=args.depth)
     if mesh is None:
-        log_error("meshing unavailable (open3d not installed); wrote nothing")
+        log_error("meshing failed; wrote nothing")
         raise SystemExit(1)
     out = args.output or args.input.replace(".ply", "_mesh.ply")
     write_ply_mesh(out, mesh)

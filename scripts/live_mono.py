@@ -43,7 +43,8 @@ def main():
         saver.save_point_cloud(PointCloudHost(points=pts, colors=cols),
                                kind="volume_pcd")
         saver.save_trajectory(pipe.trajectory)
-        log_info("saved mesh + cloud + trajectory")
+        saver.save_preview(mesh)
+        log_info("saved mesh + cloud + trajectory + preview")
 
     viewer.register_key("C", pipe.reset, "reset volume (scene change)")
     viewer.register_key("S", save, "save mesh/cloud/trajectory")
