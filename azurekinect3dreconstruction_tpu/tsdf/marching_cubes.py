@@ -123,13 +123,18 @@ def _corner_views(fields, R: int):
 @partial(jax.jit, static_argnames=("cfg", "max_cells", "max_tris", "extract_blocks"))
 def _extract_stage1(vol: TSDFVolume, cfg: TSDFConfig,
                     max_cells: int, max_tris: int,
-                    extract_blocks: int = None):
+                    extract_blocks: int = None, emit_mask=None):
     """Stages A-D_map + payload build; returns (payload (Mc, 64), c_t,
     total_tris, n_bricks). Split from stage 2 at a jit boundary ON PURPOSE:
     the (max_tris, 64) row gather of stage 2 runs 2x faster when its operand
     is a materialized buffer than when XLA fuses the payload producers into
     the gather (measured 19 ms vs 43 ms at 1M rows) — the pipeline is ~20%
-    faster split than fused, pad copy included."""
+    faster split than fused, pad copy included.
+
+    ``emit_mask`` (optional (N,) bool): only cells of masked blocks EMIT
+    triangles; unmasked alive blocks still contribute corner values, so
+    boundary cells of emitted blocks triangulate exactly as in a full
+    extraction (the incremental-extraction contract)."""
     R = cfg.block_resolution
     N = vol.tsdf.shape[0]
     E = min(extract_blocks or N, N)
@@ -188,6 +193,10 @@ def _extract_stage1(vol: TSDFVolume, cfg: TSDFConfig,
     # 0 and 255 produces geometry — two compares, no table lookup, no gathers.
     # Folding validity into the case (0 = inert) saves one worklist array.
     casem = jnp.where(all_valid & (case != 255), case, 0)
+    if emit_mask is not None:
+        # restrict OUTPUT to masked blocks; corner data above already came
+        # from every alive block, so emitted geometry is unchanged
+        casem = jnp.where(emit_mask[:E, None], casem, 0)
 
     # ---- stage B: compact active GROUPS -------------------------------------
     case_b = casem.reshape(E * nb3, B3)  # groups are contiguous: free reshape
@@ -292,9 +301,9 @@ def _extract_gather(payload, c_t):
     return payload[c_t]
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_tris"))
+@partial(jax.jit, static_argnames=("cfg", "max_tris", "return_cells"))
 def _extract_stage2(pt, total_tris, overflow1, cfg: TSDFConfig,
-                    max_tris: int):
+                    max_tris: int, return_cells: bool = False):
     """Per-triangle expansion: elementwise vertex reconstruction from the
     gathered (max_tris, 64) payload rows.
 
@@ -385,12 +394,19 @@ def _extract_stage2(pt, total_tris, overflow1, cfg: TSDFConfig,
         vcols_rows.append(jnp.where(tmask[None], vcol, 0.0))
 
     # outputs stay T-minor: (vtx, xyz, tri). extract_mesh reorders on host.
-    return (jnp.stack(verts_rows), jnp.stack(vcols_rows), num_tris, overflow)
+    out = (jnp.stack(verts_rows), jnp.stack(vcols_rows), num_tris, overflow)
+    if return_cells:
+        # per-triangle source VOXEL CELL coords (3, T) — the incremental
+        # extractor groups triangles by owning block with floor_div(cell, R)
+        cells = jnp.stack([cell0, cell1, cell2]).astype(jnp.int32)
+        out = out + (jnp.where(tmask[None], cells, -9999),)
+    return out
 
 
 def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
                         max_cells: int = 65536, max_tris: int = 131072,
-                        extract_blocks: int = None):
+                        extract_blocks: int = None, emit_mask=None,
+                        return_cells: bool = False):
     """Device-side extraction. Returns (vertices (3, 3, max_tris), colors,
     num_tris, overflow_flag). ``extract_blocks`` bounds the alive prefix
     processed (blocks are allocated densely, so slots >= n_blocks are dead).
@@ -399,12 +415,14 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     moves as whole-row gathers with no transposes).
 
     Three jitted dispatches (see _extract_stage1/_extract_gather for why);
-    no host syncs — all returned values stay on device."""
+    no host syncs — all returned values stay on device. ``emit_mask`` /
+    ``return_cells``: see _extract_stage1 / _extract_stage2 (used by
+    tsdf.incremental)."""
     payload, c_t, total_tris, overflow1 = _extract_stage1(
-        vol, cfg, max_cells, max_tris, extract_blocks)
+        vol, cfg, max_cells, max_tris, extract_blocks, emit_mask=emit_mask)
     pt = _extract_gather(payload, c_t)
     return _extract_stage2(pt, total_tris, overflow1, cfg=cfg,
-                           max_tris=max_tris)
+                           max_tris=max_tris, return_cells=return_cells)
 
 
 _TRIANGLE_IDX_CACHE = {}

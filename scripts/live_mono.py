@@ -70,11 +70,20 @@ def main():
     viewer.register_key("]", lambda: tune(trunc_d=+0.5), "depth trunc +0.5m")
     viewer.register_key("[", lambda: tune(trunc_d=-0.5), "depth trunc -0.5m")
 
+    # live surface redraws re-extract only blocks the recent frames touched
+    # (the reference re-extracts the whole volume every frame,
+    # 1camera-detectsSceneChanges.py:277-291)
+    from azurekinect3dreconstruction_tpu.tsdf.incremental import (
+        IncrementalExtractor,
+    )
+
+    inc = IncrementalExtractor(cfg.tsdf)
+
     for i, (depth, color) in enumerate(frames):
         pipe.process_frame(depth, color)
         if i % pipe.cfg.vis_update_interval == 0 and not viewer.headless:
             if state["mesh_mode"]:
-                viewer.update_mesh("surface", pipe.extract_mesh().compact())
+                viewer.update_mesh("surface", inc.update(pipe.volume))
             else:
                 pts, cols = pipe.extract_point_cloud(max_points=200000)
                 viewer.update_cloud("surface", PointCloudHost(points=pts, colors=cols))
