@@ -296,8 +296,14 @@ def _order_grid(cands: np.ndarray, pattern: Tuple[int, int]
 
 def _canonicalize(grid_pts: np.ndarray) -> np.ndarray:
     """Fix the lattice orientation image-side: first corner = the extreme
-    corner closest to the image origin, rows advance downward. Deterministic
-    for all cameras viewing the board from the same side."""
+    corner closest to the image origin. Deterministic for all cameras
+    viewing the board from the same side.
+
+    Only FLIPS, never a transpose: the (rows, cols) axes must keep their
+    lengths so corner[i] stays paired with _object_points[i] (for the
+    non-square patterns used here the axes are distinguished by length, so
+    a 90-degree-rotated board keeps its long axis on the cols dimension —
+    the same convention OpenCV uses)."""
     rows, cols, _ = grid_pts.shape
     corners4 = np.array([grid_pts[0, 0], grid_pts[0, -1],
                          grid_pts[-1, 0], grid_pts[-1, -1]])
@@ -309,17 +315,6 @@ def _canonicalize(grid_pts: np.ndarray) -> np.ndarray:
         g = g[::-1, :]
     elif first == 3:
         g = g[::-1, ::-1]
-    # ensure row direction is more vertical than column direction
-    rowv = g[1, 0] - g[0, 0]
-    colv = g[0, 1] - g[0, 0]
-    if abs(colv[1]) > abs(rowv[1]):
-        g = g.transpose(1, 0, 2)
-        rowv = g[1, 0] - g[0, 0]
-        colv = g[0, 1] - g[0, 0]
-    if colv[0] < 0:
-        g = g[:, ::-1]
-    if rowv[1] < 0:
-        g = g[::-1, :]
     return np.ascontiguousarray(g.reshape(-1, 2))
 
 

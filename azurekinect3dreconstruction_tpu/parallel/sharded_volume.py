@@ -312,9 +312,12 @@ def combine_shards(vol: TSDFVolume, cfg: TSDFConfig, n_blk: int) -> TSDFVolume:
 
     keys = np.full((N,), vhash.EMPTY_KEY, np.int32)
     keys[:total] = np.asarray(vhash.pack_key(jnp.asarray(coords)))
+    # probing masks with (capacity - 1): capacity must be a power of two
+    # (n_blk often is not — e.g. 3 or 6 shard columns)
+    cap = 1 << int(np.ceil(np.log2(cfg.hash_capacity * n_blk)))
     table, ok = vhash.build_table(jnp.asarray(keys),
                                   jnp.arange(N, dtype=jnp.int32),
-                                  capacity=cfg.hash_capacity * n_blk)
+                                  capacity=cap)
     assert bool(ok), "combined hash table failed to place every key"
     return TSDFVolume(
         table_keys=table.keys,

@@ -129,9 +129,14 @@ class FragmentPipeline:
                 if ones is None:
                     ones = jnp.ones((base.samples.shape[0],), jnp.bool_)
                 s_ones = jnp.ones((frag.samples.shape[0],), jnp.bool_)
+                # finer cells + more slots keep the dense 100k-sample target
+                # intact (default dist_thr-sized cells would decimate it to
+                # max_per_cell points per 8 cm cell)
                 coarse = icp_point_to_point(
                     frag.samples, s_ones, base.samples, ones,
-                    max_iters=30, dist_thr=coarse_dist)
+                    max_iters=30, dist_thr=coarse_dist,
+                    cell_size=coarse_dist / 2, max_per_cell=16,
+                    capacity=65536)
                 # refine stage: point-to-plane, tighter threshold (:137-160)
                 fine = icp_grid(frag.samples, s_ones, base.samples,
                                 base.sample_normals, ones, init=coarse.T,

@@ -243,10 +243,12 @@ def icp_grid(src_points, src_mask, tgt_points, tgt_normals, tgt_mask,
     return ICPResult(T=T, fitness=fit, inlier_rmse=rmse, inliers=n_in)
 
 
-@partial(jax.jit, static_argnames=("max_iters", "capacity", "max_per_cell"))
+@partial(jax.jit, static_argnames=("max_iters", "capacity", "max_per_cell",
+                                   "cell_size"))
 def icp_point_to_point(src_points, src_mask, tgt_points, tgt_mask,
                        init=None, max_iters: int = 30, dist_thr: float = 0.05,
-                       capacity: int = 16384, max_per_cell: int = 8) -> ICPResult:
+                       capacity: int = 16384, max_per_cell: int = 8,
+                       cell_size: float = None) -> ICPResult:
     """Point-to-point ICP between two unorganized clouds — the fragment
     pipeline's registration mode (reference azure-kinect-DK/Reconstruction/
     3Dreconstruction.py:112-135: ``registration_icp(...,
@@ -265,13 +267,19 @@ def icp_point_to_point(src_points, src_mask, tgt_points, tgt_mask,
 
     src = jnp.asarray(src_points, jnp.float32)
     tgt = jnp.asarray(tgt_points, jnp.float32)
-    cells = build_cell_lists(tgt, tgt_mask, dist_thr, capacity, max_per_cell)
+    # cell_size < dist_thr (with a larger capacity) keeps dense targets —
+    # e.g. 100k uniform mesh samples — from being decimated to max_per_cell
+    # points per dist_thr-sized cell; the 27-cell search then reaches
+    # ~2*cell_size, so keep cell_size >= dist_thr / 2
+    cs = float(cell_size) if cell_size is not None else dist_thr
+    cells = build_cell_lists(tgt, tgt_mask, cs, capacity, max_per_cell)
     T0 = jnp.eye(4, dtype=jnp.float32) if init is None else jnp.asarray(init, jnp.float32)
 
     def body(_, carry):
         T, _stats = carry
         p = se3.transform_points(T, src)
-        nn, dist = knn_gather(cells, tgt, p, src_mask, k=1, max_radius=dist_thr)
+        nn, dist = knn_gather(cells, tgt, p, src_mask, k=1,
+                              max_radius=jnp.minimum(dist_thr, 1.5 * cs))
         idx = nn[:, 0]
         ok = src_mask & (idx >= 0)
         w = ok.astype(jnp.float32)

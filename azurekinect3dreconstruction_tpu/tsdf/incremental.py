@@ -31,6 +31,15 @@ from azurekinect3dreconstruction_tpu.core.types import TriangleMeshHost
 from azurekinect3dreconstruction_tpu.tsdf import marching_cubes as mc
 from azurekinect3dreconstruction_tpu.tsdf.volume import TSDFVolume
 
+import jax
+
+
+@jax.jit
+def _checksums(vol: TSDFVolume):
+    """(change_checksum, monotonic_checksum) per block, one fused pass."""
+    return (jnp.sum(vol.weight + jnp.abs(vol.tsdf), axis=(1, 2)),
+            jnp.sum(vol.weight, axis=(1, 2)))
+
 
 class IncrementalExtractor:
     def __init__(self, cfg: TSDFConfig, max_cells: int = 1 << 20,
@@ -40,6 +49,7 @@ class IncrementalExtractor:
         self.max_tris = max_tris
         self._cache: Dict[Tuple[int, int, int], Tuple[np.ndarray, np.ndarray]] = {}
         self._prev_ws: Optional[np.ndarray] = None
+        self._prev_mono: Optional[np.ndarray] = None
         self._prev_nb = 0
         self._assembled: Optional[TriangleMeshHost] = None
         self.last_touched = 0  # blocks re-extracted on the last update
@@ -47,6 +57,7 @@ class IncrementalExtractor:
     def reset(self) -> None:
         self._cache.clear()
         self._prev_ws = None
+        self._prev_mono = None
         self._prev_nb = 0
         self._assembled = None
 
@@ -55,9 +66,16 @@ class IncrementalExtractor:
         the full scene as a triangle soup."""
         N = vol.tsdf.shape[0]
         nb = int(vol.n_blocks)
-        if nb < self._prev_nb:  # volume was reset
+        # change checksum: weight ALONE saturates at max_integration_weight
+        # (a dwelled-on block would go blind to later scene changes), so fold
+        # in the tsdf magnitudes, which keep moving while the surface does;
+        # the plain weight sum is kept too — it is MONOTONIC, so any decrease
+        # proves a volume reset even if the pool already regrew larger
+        ws, mono = (np.asarray(a) for a in _checksums(vol))
+        if nb < self._prev_nb or (
+                self._prev_mono is not None
+                and bool(np.any(mono < self._prev_mono))):
             self.reset()
-        ws = np.asarray(jnp.sum(vol.weight, axis=(1, 2)))  # (N,) checksums
         if self._prev_ws is None:
             changed = np.zeros((N,), bool)
             changed[:nb] = True
@@ -65,6 +83,7 @@ class IncrementalExtractor:
             changed = ws != self._prev_ws
             changed[nb:] = False
         self._prev_ws = ws
+        self._prev_mono = mono
         self._prev_nb = nb
         self.last_touched = int(changed.sum())
 
@@ -89,16 +108,17 @@ class IncrementalExtractor:
             self.last_touched = int(emit_mask.sum())
 
             E = next((e for e in mc.EXTRACT_SIZES if e >= nb), N)
-            mcells, mtris = self.max_cells, self.max_tris
             while True:
                 v, c_, n_tris, ovf, cells = mc.extract_mesh_arrays(
-                    vol, self.cfg, max_cells=mcells, max_tris=mtris,
-                    extract_blocks=min(E, N),
+                    vol, self.cfg, max_cells=self.max_cells,
+                    max_tris=self.max_tris, extract_blocks=min(E, N),
                     emit_mask=jnp.asarray(emit_mask), return_cells=True)
                 if not bool(ovf):
                     break
-                mcells *= 4
-                mtris *= 4
+                # persist grown budgets: this object lives across updates,
+                # so the next refresh starts at the working size
+                self.max_cells *= 4
+                self.max_tris *= 4
             nt = int(n_tris)
             # slice ON DEVICE before pulling: the transfer scales with the
             # emitted triangle count, not the static budget
@@ -107,10 +127,14 @@ class IncrementalExtractor:
             blk = np.asarray(cells[:, :nt]).T // self.cfg.block_resolution
 
             # replace every emitted block's cache entry (emitted blocks with
-            # zero triangles now must drop their stale entry)
+            # zero triangles now must drop their stale entry), and prune
+            # entries whose block is no longer alive at all
             emitted = {tuple(c) for c in coords[emit_mask[:nb]]}
             for k in emitted:
                 self._cache.pop(k, None)
+            alive_keys = set(keys)
+            for k in [k for k in self._cache if k not in alive_keys]:
+                self._cache.pop(k)
             if nt:
                 order = np.lexsort(blk.T)
                 blk_s = blk[order]

@@ -69,3 +69,31 @@ def test_incremental_handles_reset(synthetic_camera):
     vol = tsdf.create(CFG)
     m2 = inc.update(vol)
     assert m2.triangles.shape[0] == 0
+
+
+def test_incremental_sees_changes_after_weight_saturation(synthetic_camera):
+    """Weight sums clamp at max_integration_weight; change detection must
+    still notice tsdf drift in saturated blocks (review finding r2)."""
+    intr = synthetic_camera.intrinsics
+    rays = pixel_rays(intr)
+    T = np.eye(4, dtype=np.float32)
+    z, c = synthetic_camera.render(T)
+    inc = IncrementalExtractor(CFG, max_cells=262144, max_tris=131072)
+    vol = tsdf.create(CFG)
+    # dwell long enough that every observed voxel's weight clamps
+    reps = int(CFG.max_integration_weight) + 5
+    for _ in range(reps):
+        vol = tsdf.integrate_frame(vol, jnp.asarray(z), jnp.asarray(c), rays,
+                                   jnp.asarray(T), intr, CFG, backend="xla")
+    inc.update(vol)
+    inc.update(vol)
+    assert inc.last_touched == 0  # fully saturated and unchanged
+
+    # the scene "changes": same blocks observed from a nudged viewpoint
+    T2 = np.asarray(orbit_trajectory(3, radius=0.03, angle_span=0.2)[2],
+                    np.float32)
+    z2, c2 = synthetic_camera.render(T2)
+    vol = tsdf.integrate_frame(vol, jnp.asarray(z2), jnp.asarray(c2), rays,
+                               jnp.asarray(T2), intr, CFG, backend="xla")
+    inc.update(vol)
+    assert inc.last_touched > 0, "saturated blocks went blind to change"
