@@ -61,3 +61,35 @@ def sample_points_uniformly(mesh: TriangleMeshHost, n: int = 100_000,
         nn = np.linalg.norm(nrm, axis=1, keepdims=True)
         normals = (nrm / np.maximum(nn, 1e-12)).astype(np.float32)
     return PointCloudHost(points=pts, colors=colors, normals=normals)
+
+
+def transfer_colors(mesh: TriangleMeshHost, cloud: PointCloudHost,
+                    radius: float = 0.02) -> TriangleMeshHost:
+    """Color mesh vertices from the nearest cloud points — the reference's
+    save-time color transfer for Poisson meshes, which lose vertex colors
+    (azure-kinect-DK/Reconstruction/Reconstruction.py:227-267 paints the
+    mesh from the accumulated model cloud with a KDTree NN query). Grid-hash
+    NN here (ops.neighbors), host-facing save-time op."""
+    import jax.numpy as jnp
+
+    from azurekinect3dreconstruction_tpu.ops.neighbors import (
+        build_cell_lists,
+        knn_gather,
+    )
+
+    if cloud.colors is None or not len(cloud):
+        return mesh
+    pts = jnp.asarray(cloud.points, jnp.float32)
+    n = pts.shape[0]
+    mask = jnp.ones((n,), bool)
+    cells = build_cell_lists(pts, mask, radius,
+                             1 << max(12, (n - 1).bit_length()), max_per_cell=8)
+    v = jnp.asarray(mesh.vertices, jnp.float32)
+    qmask = jnp.ones((v.shape[0],), bool)
+    idx, _ = knn_gather(cells, pts, v, qmask, k=1, max_radius=3 * radius)
+    idx = np.asarray(idx[:, 0])
+    cols = np.full((v.shape[0], 3), 0.6, np.float32)
+    hit = idx >= 0
+    cols[hit] = np.asarray(cloud.colors)[idx[hit]]
+    mesh.vertex_colors = cols
+    return mesh

@@ -75,3 +75,61 @@ def pca_normal(neighbors, mask):
     # smallest eigenvector via eigh (3x3 batched — cheap, stable)
     wvals, vecs = jnp.linalg.eigh(cov)
     return vecs[..., 0]  # ascending order: first column = smallest eigenvalue
+
+
+def orient_normals_consistent(points, normals, mask, radius: float,
+                              k: int = 16):
+    """Flip normals so neighboring normals agree — Open3D
+    ``orient_normals_consistent_tangent_plane`` analog (reference
+    azure-kinect-DK/Reconstruction/Reconstruction-ResourceEfficient.py:169
+    orients the accumulated model cloud this way on save, where no single
+    viewpoint exists).
+
+    The kNN graph comes from the device grid hash (ops.neighbors); the sign
+    propagation itself is a host BFS over connected components seeded at
+    each component's highest point (oriented +y-up... reference clouds are
+    y-down camera frames, so the seed orients AWAY from the cloud centroid),
+    flipping each newly-reached normal to agree with its parent. Offline
+    save-time operation: host graph traversal is the right tool (SURVEY.md
+    §2.2 keeps once-per-save work off the device)."""
+    import numpy as np
+
+    from azurekinect3dreconstruction_tpu.ops.neighbors import (
+        build_cell_lists,
+        knn_gather,
+    )
+
+    pts = jnp.asarray(points, jnp.float32)
+    n = pts.shape[0]
+    cells = build_cell_lists(pts, mask, radius, 1 << max(12, (n - 1).bit_length()),
+                             max_per_cell=8)
+    idx, _ = knn_gather(cells, pts, pts, mask, k=k, max_radius=radius)
+    idx = np.asarray(idx)
+    m = np.asarray(mask)
+    nr = np.array(jnp.asarray(normals, jnp.float32))
+    p = np.asarray(pts)
+
+    visited = ~m  # invalid points are never traversed
+    centroid = p[m].mean(0) if m.any() else np.zeros(3)
+    order = np.argsort(-np.linalg.norm(p - centroid, axis=1))
+    from collections import deque
+
+    for seed in order:
+        if visited[seed]:
+            continue
+        # seed orientation: away from the centroid (the only global cue an
+        # unstructured accumulated cloud offers)
+        if np.dot(nr[seed], p[seed] - centroid) < 0:
+            nr[seed] = -nr[seed]
+        visited[seed] = True
+        q = deque([seed])
+        while q:
+            i = q.popleft()
+            for j in idx[i]:
+                if j < 0 or visited[j]:
+                    continue
+                if np.dot(nr[j], nr[i]) < 0:
+                    nr[j] = -nr[j]
+                visited[j] = True
+                q.append(j)
+    return jnp.asarray(nr)

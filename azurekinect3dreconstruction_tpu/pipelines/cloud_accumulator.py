@@ -93,10 +93,21 @@ class CloudAccumulator:
         n = self.model_points.shape[0]
         normals = None
         if n:
+            from azurekinect3dreconstruction_tpu.ops.normals import (
+                orient_normals_consistent,
+            )
+
+            mask = jnp.ones((n,), bool)
             nr = estimate_normals_knn(
-                jnp.asarray(self.model_points), jnp.ones((n,), bool),
+                jnp.asarray(self.model_points), mask,
                 radius=3 * self.cfg.voxel_downsample, k=16,
                 orient_to=self.T_world_cam[:3, 3].astype(np.float32))
+            # accumulated model = many viewpoints: finish with the
+            # consistent-tangent-plane pass the reference applies on save
+            # (Reconstruction-ResourceEfficient.py:169)
+            nr = orient_normals_consistent(
+                jnp.asarray(self.model_points), nr, mask,
+                radius=3 * self.cfg.voxel_downsample)
             normals = np.asarray(nr)
         cloud = PointCloudHost(points=self.model_points, colors=self.model_colors,
                                normals=normals)
@@ -105,8 +116,16 @@ class CloudAccumulator:
             from azurekinect3dreconstruction_tpu.meshing.poisson import (
                 poisson_mesh_from_cloud,
             )
+            from azurekinect3dreconstruction_tpu.meshing.sampling import (
+                transfer_colors,
+            )
 
             mesh = poisson_mesh_from_cloud(cloud)
             if mesh is not None:
+                if mesh.vertex_colors is None:
+                    # reference save_model paints the Poisson mesh from the
+                    # model cloud (Reconstruction.py:227-267)
+                    mesh = transfer_colors(mesh, cloud,
+                                           radius=self.cfg.voxel_downsample)
                 paths["mesh"] = self.saver.save_mesh(mesh, kind="poisson_mesh")
         return paths

@@ -89,3 +89,51 @@ def test_estimate_normals_knn_sphere():
     have = np.linalg.norm(n, axis=1) > 0.5
     cosang = np.abs(np.sum(n[have] * dirs[have], axis=1))
     assert cosang.mean() > 0.97
+
+
+def test_orient_normals_consistent_sphere():
+    """Open3D orient_normals_consistent_tangent_plane analog: normals of a
+    sphere cloud with randomly flipped signs come out globally consistent
+    (all outward or all inward, majority outward via the centroid seed)."""
+    import jax.numpy as jnp
+
+    from azurekinect3dreconstruction_tpu.ops.normals import (
+        orient_normals_consistent,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 3000
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = (d * 0.2).astype(np.float32)
+    flips = np.where(rng.rand(n) < 0.5, 1.0, -1.0)[:, None]
+    nr0 = (d * flips).astype(np.float32)
+    mask = jnp.ones((n,), bool)
+    nr = np.asarray(orient_normals_consistent(jnp.asarray(pts),
+                                              jnp.asarray(nr0), mask,
+                                              radius=0.05))
+    agree = (nr * d).sum(1)
+    out_frac = (agree > 0).mean()
+    assert out_frac > 0.99, f"only {out_frac:.3f} outward"
+
+
+def test_transfer_colors_paints_mesh_from_cloud():
+    from azurekinect3dreconstruction_tpu.core.types import (
+        PointCloudHost,
+        TriangleMeshHost,
+    )
+    from azurekinect3dreconstruction_tpu.meshing.sampling import transfer_colors
+
+    # cloud: red left half, blue right half
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-1, 1, (5000, 3)).astype(np.float32)
+    cols = np.where(pts[:, :1] < 0, [1.0, 0, 0], [0, 0, 1.0]).astype(np.float32)
+    cloud = PointCloudHost(points=pts, colors=cols)
+    verts = np.array([[-0.5, 0, 0], [0.5, 0, 0], [-0.6, 0.1, 0.1],
+                      [0.6, -0.1, -0.1]], np.float32)
+    mesh = TriangleMeshHost(vertices=verts,
+                            triangles=np.array([[0, 1, 2]], np.int32))
+    mesh = transfer_colors(mesh, cloud, radius=0.1)
+    assert mesh.vertex_colors is not None
+    assert mesh.vertex_colors[0, 0] > 0.9 and mesh.vertex_colors[2, 0] > 0.9
+    assert mesh.vertex_colors[1, 2] > 0.9 and mesh.vertex_colors[3, 2] > 0.9
