@@ -91,6 +91,13 @@ class OdometryConfig:
     sigma_depth: float = 0.05  # geometric residual scale
     huber_delta: float = 1.345
     damping: float = 1e-6  # Levenberg diagonal damping on JtJ
+    # stop a pyramid level early once the GN step norm falls below this
+    # (0 disables — the default: this GN converges LINEARLY at ~0.85/iter on
+    # the photometric cost, so steps rarely drop below 1e-5 inside the
+    # reference's [20,10,5] budget and a tolerance loose enough to fire
+    # would trade per-frame accuracy, which accumulates as drift). Offered
+    # for throughput-over-accuracy deployments (Pallas path only).
+    convergence_delta: float = 0.0
     term: str = "hybrid"  # "hybrid" | "color" | "depth"
 
 

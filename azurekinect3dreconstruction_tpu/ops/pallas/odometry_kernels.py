@@ -203,11 +203,17 @@ def _make_level_kernel(cfg: OdometryConfig, n_tiles: int,
         def _init_pose():
             pose[:, :] = onehot_row([(k, P(k)) for k in range(12)])
 
-        @pl.when(j == 0)
+        # pose lane 31 is the convergence flag: once a GN step's norm drops
+        # below tol (params lane 30), remaining iterations of this level
+        # skip all tile/solve work (out_ref keeps the converged values —
+        # unwritten output blocks are revisited, not cleared)
+        not_conv = pose[0, 31] == 0.0
+
+        @pl.when((j == 0) & not_conv)
         def _zero_acc():
             acc[:, :] = jnp.zeros((8, 128), jnp.float32)
 
-        @pl.when(j < n_tiles)
+        @pl.when((j < n_tiles) & not_conv)
         def _tile():
             Tp = lambda k: pose[0, k]
             vs = (j * TV + jax.lax.broadcasted_iota(jnp.int32, (TV, wp), 0)
@@ -369,7 +375,7 @@ def _make_level_kernel(cfg: OdometryConfig, n_tiles: int,
             out = put(out, k, jnp.sum(valid_s.astype(jnp.float32)))
             acc[:, :] = acc[:, :] + out
 
-        @pl.when(j == n_tiles)
+        @pl.when((j == n_tiles) & not_conv)
         def _solve():
             s = lambda k: acc[0, k]
             damp = P(28)
@@ -400,9 +406,14 @@ def _make_level_kernel(cfg: OdometryConfig, n_tiles: int,
 
             pose_pairs = [(r * 4 + c, Tn[r][c]) for r in range(3)
                           for c in range(4)]
+            # convergence: flag lane 31 once this step's norm^2 < tol^2
+            # (tol = 0 disables — lane 30 carries tol^2)
+            dn2 = sum(dcomp * dcomp for dcomp in delta)
+            tol2 = P(30)
+            conv = jnp.where((tol2 > 0.0) & (dn2 < tol2), 1.0, 0.0)
             lane1_ = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
             prow = jnp.zeros((1, 128), jnp.float32)
-            for k, val in pose_pairs:
+            for k, val in pose_pairs + [(31, conv)]:
                 prow = prow + jnp.where(lane1_ == k, val, 0.0)
             pose[:, :] = prow
             orow = prow
@@ -471,6 +482,7 @@ def _level_fn(intr: Intrinsics, cfg: OdometryConfig, lvl: int, iters: int,
         params = params.at[0, 25].set(cfg.huber_delta)
         params = params.at[0, 26].set(term_i).at[0, 27].set(term_d)
         params = params.at[0, 28].set(cfg.damping)
+        params = params.at[0, 30].set(cfg.convergence_delta ** 2)
 
         (out,) = pl.pallas_call(
             kernel,
