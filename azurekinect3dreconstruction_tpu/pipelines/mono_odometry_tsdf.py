@@ -34,10 +34,21 @@ class MonoOdometryTSDF:
     """Feed raw (depth_u16, color_u8) frames; poses accumulate from odometry."""
 
     def __init__(self, intrinsics: Intrinsics, config: Optional[PipelineConfig] = None,
-                 backend: str = "auto"):
+                 backend: str = "auto", tracking: str = "frame_to_frame",
+                 model_refine_interval: int = 5, model_points: int = 32768):
+        """``tracking``: "frame_to_frame" (reference
+        1camera-detectsSceneChanges.py odometry chaining) or
+        "frame_to_model" — odometry predicts, then projective point-to-plane
+        ICP against device-extracted model surface points refines (reference
+        InitialReconstruction-CUDA-2cam:653-674), which bounds the
+        frame-to-frame drift accumulation."""
+        assert tracking in ("frame_to_frame", "frame_to_model")
         self.intr = intrinsics
         self.cfg = config or PipelineConfig()
         self.backend = backend
+        self.tracking = tracking
+        self.model_refine_interval = model_refine_interval
+        self.model_points = model_points
         self.rays = pixel_rays(intrinsics)
         self.volume = tsdf.create(self.cfg.tsdf)
         self.T_world_cam = np.eye(4)
@@ -46,6 +57,7 @@ class MonoOdometryTSDF:
         self.telemetry = Telemetry()
         self.odometry_failures = 0
         self.frame_index = 0
+        self._model = None  # (points, mask) device cache for frame-to-model
 
     def reset(self) -> None:
         """The reference's 'C'-key volume reset (scene change)."""
@@ -54,6 +66,7 @@ class MonoOdometryTSDF:
         self.trajectory = [np.eye(4)]
         self.prev = None
         self.frame_index = 0
+        self._model = None
 
     def process_frame(self, depth_raw, color_raw) -> np.ndarray:
         """Track + fuse one frame; returns the camera-to-world pose used."""
@@ -80,6 +93,10 @@ class MonoOdometryTSDF:
                 self.telemetry.count("odo_fail")
                 log_warning(f"odometry failed (fitness {fitness:.2f}); keeping pose")
 
+            if self.tracking == "frame_to_model" and self._model is not None:
+                with self.telemetry.time_block("model_icp"):
+                    self._refine_against_model(frame)
+
         with self.telemetry.time_block("integrate"):
             self.volume = tsdf.integrate_frame(
                 self.volume, frame.depth, frame.color, self.rays,
@@ -89,9 +106,50 @@ class MonoOdometryTSDF:
         self.prev = frame
         self.trajectory.append(self.T_world_cam.copy())
         self.frame_index += 1
+        if (self.tracking == "frame_to_model"
+                and self.frame_index % self.model_refine_interval == 0):
+            # refresh the device-resident model surface: budget-bounded
+            # marching-cubes VERTICES (the fast extractor; overflow just
+            # truncates — a subset of the surface is plenty for tracking).
+            # Arrays stay on device, no host round trip.
+            nb = int(self.volume.n_blocks)
+            E = next((e for e in mc.EXTRACT_SIZES if e >= nb),
+                     self.volume.tsdf.shape[0])
+            mtris = self.model_points // 3
+            v, _c, n_tris, _ovf = mc.extract_mesh_arrays(
+                self.volume, self.cfg.tsdf, max_cells=64 * 8192,
+                max_tris=mtris, extract_blocks=E)
+            pts = v.transpose(2, 0, 1).reshape(-1, 3)  # (3*mtris, 3)
+            mask = (jax.lax.broadcasted_iota(jnp.int32, (3 * mtris, 1), 0)[:, 0]
+                    < 3 * n_tris)
+            self._model = (pts, mask)
         self.telemetry.tick_frame()
         self.telemetry.maybe_report()
         return self.T_world_cam
+
+    def _refine_against_model(self, frame: RGBDFrame) -> None:
+        """Projective point-to-plane ICP: world-frame model points onto the
+        current frame's organized maps, seeded by the odometry prediction
+        (the TPU-shaped form of the reference's cloud-vs-model
+        registration_icp, InitialReconstruction-CUDA-2cam:653-674)."""
+        from azurekinect3dreconstruction_tpu.tracking.icp import (
+            TargetMaps,
+            icp_projective,
+        )
+
+        pts, mask = self._model
+        maps = TargetMaps.from_depth(frame.depth, self.intr, rays=self.rays)
+        init = jnp.asarray(np.linalg.inv(self.T_world_cam), jnp.float32)
+        res = icp_projective(pts, mask, maps, self.intr, init=init,
+                             max_iters=10,
+                             dist_thr=self.cfg.registration.icp_distance_threshold)
+        fit = float(res.fitness)
+        T = np.asarray(res.T, np.float64)
+        if fit > self.cfg.registration.min_fitness_icp and np.isfinite(T).all():
+            self.T_world_cam = np.linalg.inv(T)
+            self.telemetry.count("model_icp_ok")
+        else:
+            self.telemetry.count("model_icp_skip")
 
     def extract_mesh(self, **kw):
         with self.telemetry.time_block("extract"):

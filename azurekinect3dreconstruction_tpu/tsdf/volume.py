@@ -363,29 +363,40 @@ def extract_point_cloud_device(vol: TSDFVolume, cfg: TSDFConfig,
         cross = cross & alive[:, : cross.shape[1], : cross.shape[2], : cross.shape[3]]
         frac = t0 / jnp.where(jnp.abs(t0 - t1) > 1e-12, t0 - t1, 1e-12)
         sh = t0.shape
-        ii = jax.lax.broadcasted_iota(jnp.int32, sh, 1).astype(jnp.float32)
-        jj = jax.lax.broadcasted_iota(jnp.int32, sh, 2).astype(jnp.float32)
-        kk = jax.lax.broadcasted_iota(jnp.int32, sh, 3).astype(jnp.float32)
-        base = coords[:, None, None, None, :].astype(jnp.float32) * R
-        local = jnp.stack([ii, jj, kk], -1) + 0.5
-        local = local.at[..., axis].add(jnp.clip(frac, 0.0, 1.0))
-        p = (base + local) * cfg.voxel_size
+        fr = jnp.clip(frac, 0.0, 1.0)
+        # per-coordinate (no trailing 3-dim: it would lane-pad 3 -> 128)
+        p = []
+        for k in range(3):
+            loc = (jax.lax.broadcasted_iota(jnp.int32, sh, k + 1)
+                   .astype(jnp.float32) + 0.5)
+            if k == axis:
+                loc = loc + fr
+            base_k = coords[:, None, None, None, k].astype(jnp.float32) * R
+            p.append((base_k + loc) * cfg.voxel_size)
+        p = jnp.stack(p, axis=0)  # (3, E, ...) — 3 on the MAJOR axis
         csel_a = [slice(None), slice(None)] + sl_a[1:]
         csel_b = [slice(None), slice(None)] + sl_b[1:]
         c0 = c4[tuple(csel_a)]
         c1 = c4[tuple(csel_b)]
         cmix = c0 + jnp.clip(frac, 0, 1)[:, None] * (c1 - c0)  # (E,3,...)
-        pts_parts.append(p.reshape(-1, 3))
-        col_parts.append(jnp.moveaxis(cmix, 1, -1).reshape(-1, 3))
+        # per-coordinate FLAT arrays: an (M, 3) layout lane-pads 3 -> 128
+        # (42x memory — tens of GB at full pool scale)
+        pts_parts.append([p[k].reshape(-1) for k in range(3)])
+        col_parts.append([cmix[:, k].reshape(-1) for k in range(3)])
         m_parts.append(cross.reshape(-1))
 
-    pts = jnp.concatenate(pts_parts)
-    cols = jnp.concatenate(col_parts)
     m = jnp.concatenate(m_parts)
     order = jnp.cumsum(m.astype(jnp.int32)) - 1
     dst = jnp.where(m & (order < max_points), order, max_points)
-    out_p = jnp.zeros((max_points + 1, 3), jnp.float32).at[dst].set(pts, mode="drop")
-    out_c = jnp.zeros((max_points + 1, 3), jnp.float32).at[dst].set(cols, mode="drop")
+    outs = []
+    for parts in (pts_parts, col_parts):
+        chans = []
+        for k in range(3):
+            flat = jnp.concatenate([a[k] for a in parts])
+            chans.append(jnp.zeros((max_points + 1,), jnp.float32)
+                         .at[dst].set(flat, mode="drop")[:max_points])
+        outs.append(jnp.stack(chans, axis=-1))
+    out_p, out_c = outs
     n = jnp.minimum(order[-1] + 1, max_points)
     mask = jax.lax.broadcasted_iota(jnp.int32, (max_points, 1), 0)[:, 0] < n
-    return out_p[:max_points], out_c[:max_points], mask
+    return out_p, out_c, mask

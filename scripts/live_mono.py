@@ -24,13 +24,18 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     add_common_args(ap)
     ap.add_argument("--voxel", type=float, default=0.01, help="TSDF voxel (m)")
+    ap.add_argument("--tracking", default="frame_to_frame",
+                    choices=["frame_to_frame", "frame_to_model"],
+                    help="frame_to_model refines odometry against the fused "
+                         "model surface (bounds drift)")
     args = ap.parse_args()
 
     frames, intr = make_source(args)
     cfg = PipelineConfig(
         tsdf=TSDFConfig(voxel_size=args.voxel, sdf_trunc=4 * args.voxel),
     )
-    pipe = MonoOdometryTSDF(intr, cfg, backend=args.backend)
+    pipe = MonoOdometryTSDF(intr, cfg, backend=args.backend,
+                            tracking=args.tracking)
     viewer = make_viewer(args, "mono odometry+TSDF")
     saver = ResultSaver(args.output)
     state = {"mesh_mode": False}

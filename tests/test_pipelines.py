@@ -180,3 +180,36 @@ def test_cloud_accumulator(cam, tmp_path):
     import os
 
     assert os.path.exists(paths["pointcloud"])
+
+
+def test_mono_frame_to_model_tracking(cam):
+    """frame_to_model mode: odometry predicts, projective ICP against the
+    device-extracted model surface refines (reference
+    InitialReconstruction-CUDA-2cam:653-674). Trajectory must stay at least
+    as accurate as frame-to-frame on the same sequence."""
+    from azurekinect3dreconstruction_tpu.pipelines import MonoOdometryTSDF
+
+    poses = orbit_trajectory(8, radius=0.2, angle_span=0.5)
+
+    import jax.numpy as jnp
+
+    def run(tracking):
+        pipe = MonoOdometryTSDF(cam.intrinsics, SMALL_CFG, backend="xla",
+                                tracking=tracking, model_refine_interval=2)
+        for T in poses:
+            d, c = cam.capture(T)
+            pipe.process_frame(d, c)
+        errs = []
+        for i, T in enumerate(poses):
+            T_true = np.linalg.inv(poses[0]) @ T
+            d6 = np.asarray(se3.se3_log(jnp.asarray(
+                np.linalg.inv(T_true) @ pipe.trajectory[i + 1], jnp.float32)))
+            errs.append(np.linalg.norm(d6))
+        return pipe, float(np.max(errs))
+
+    pipe_m, err_m = run("frame_to_model")
+    assert pipe_m.telemetry._counters.get("model_icp_ok", 0) > 0, \
+        "model refinement never engaged"
+    _, err_f = run("frame_to_frame")
+    assert err_m < max(err_f * 1.5, 0.01), (err_m, err_f)
+    assert err_m < 0.02, err_m
