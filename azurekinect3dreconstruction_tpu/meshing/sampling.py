@@ -79,11 +79,15 @@ def transfer_colors(mesh: TriangleMeshHost, cloud: PointCloudHost,
 
     if cloud.colors is None or not len(cloud):
         return mesh
+    from azurekinect3dreconstruction_tpu.ops.neighbors import auto_capacity
+
     pts = jnp.asarray(cloud.points, jnp.float32)
     n = pts.shape[0]
     mask = jnp.ones((n,), bool)
-    cells = build_cell_lists(pts, mask, radius,
-                             1 << max(12, (n - 1).bit_length()), max_per_cell=8)
+    # cell size = search radius: the 27-cell probe is complete only within
+    # one cell size, so a smaller cell would silently shrink the search
+    cells = build_cell_lists(pts, mask, 3 * radius, auto_capacity(n),
+                             max_per_cell=8)
     v = jnp.asarray(mesh.vertices, jnp.float32)
     qmask = jnp.ones((v.shape[0],), bool)
     idx, _ = knn_gather(cells, pts, v, qmask, k=1, max_radius=3 * radius)

@@ -68,6 +68,14 @@ def _next_pow2(x: int) -> int:
     return 1 << (x - 1).bit_length()
 
 
+def auto_capacity(n_points: int, floor: int = 4096) -> int:
+    """Cell-table capacity that cannot overflow for ``n_points`` distinct
+    cells (each point occupies at most one cell). Use this instead of the
+    16384 default whenever the cloud size is not known to be small — an
+    overflowing table silently drops points from neighbor queries."""
+    return max(floor, _next_pow2(max(n_points, 1)))
+
+
 class CellLists(NamedTuple):
     """Fixed-fanout cell -> point-index lists for neighbor queries."""
 

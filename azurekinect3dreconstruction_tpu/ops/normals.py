@@ -82,54 +82,70 @@ def orient_normals_consistent(points, normals, mask, radius: float,
     """Flip normals so neighboring normals agree — Open3D
     ``orient_normals_consistent_tangent_plane`` analog (reference
     azure-kinect-DK/Reconstruction/Reconstruction-ResourceEfficient.py:169
-    orients the accumulated model cloud this way on save, where no single
-    viewpoint exists).
+    orients the accumulated model cloud this way on save).
 
-    The kNN graph comes from the device grid hash (ops.neighbors); the sign
-    propagation itself is a host BFS over connected components seeded at
-    each component's highest point (oriented +y-up... reference clouds are
-    y-down camera frames, so the seed orients AWAY from the cloud centroid),
-    flipping each newly-reached normal to agree with its parent. Offline
-    save-time operation: host graph traversal is the right tool (SURVEY.md
-    §2.2 keeps once-per-save work off the device)."""
+    The kNN graph comes from the device grid hash (ops.neighbors); sign
+    propagation is a level-synchronous host BFS (numpy-batched per
+    frontier) assigning each point a +-1 sign relative to its component's
+    seed, then each component takes the GLOBAL sign that agrees with the
+    MAJORITY of its incoming normals — so a viewpoint-oriented input (the
+    usual case: estimate_normals_knn already oriented toward the camera)
+    keeps its correct global orientation for interior scans as well as
+    exterior ones, and the pass only repairs local inconsistencies.
+    Offline save-time operation (SURVEY.md §2.2)."""
     import numpy as np
 
     from azurekinect3dreconstruction_tpu.ops.neighbors import (
+        auto_capacity,
         build_cell_lists,
         knn_gather,
     )
 
     pts = jnp.asarray(points, jnp.float32)
     n = pts.shape[0]
-    cells = build_cell_lists(pts, mask, radius, 1 << max(12, (n - 1).bit_length()),
+    cells = build_cell_lists(pts, mask, radius, auto_capacity(n),
                              max_per_cell=8)
     idx, _ = knn_gather(cells, pts, pts, mask, k=k, max_radius=radius)
     idx = np.asarray(idx)
     m = np.asarray(mask)
-    nr = np.array(jnp.asarray(normals, jnp.float32))
-    p = np.asarray(pts)
+    nr0 = np.array(jnp.asarray(normals, jnp.float32))
+    sign = np.zeros(n, np.int8)  # 0 = unvisited; +-1 = sign vs component seed
 
-    visited = ~m  # invalid points are never traversed
-    centroid = p[m].mean(0) if m.any() else np.zeros(3)
-    order = np.argsort(-np.linalg.norm(p - centroid, axis=1))
-    from collections import deque
+    # SYMMETRIZED edge list: grid-hash kNN is asymmetric (cell overflow can
+    # drop a point from candidate lists while it still has outgoing
+    # neighbors), and a forward-only traversal would strand such points
+    src0 = np.repeat(np.arange(n), idx.shape[1])
+    dst0 = idx.reshape(-1)
+    e_ok = (dst0 >= 0) & (dst0 != src0) & m[src0] & m[np.maximum(dst0, 0)]
+    src = np.concatenate([src0[e_ok], dst0[e_ok]])
+    dst = np.concatenate([dst0[e_ok], src0[e_ok]])
 
-    for seed in order:
-        if visited[seed]:
+    in_frontier = np.zeros(n, bool)
+    for seed in range(n):
+        if sign[seed] != 0 or not m[seed]:
             continue
-        # seed orientation: away from the centroid (the only global cue an
-        # unstructured accumulated cloud offers)
-        if np.dot(nr[seed], p[seed] - centroid) < 0:
-            nr[seed] = -nr[seed]
-        visited[seed] = True
-        q = deque([seed])
-        while q:
-            i = q.popleft()
-            for j in idx[i]:
-                if j < 0 or visited[j]:
-                    continue
-                if np.dot(nr[j], nr[i]) < 0:
-                    nr[j] = -nr[j]
-                visited[j] = True
-                q.append(j)
-    return jnp.asarray(nr)
+        sign[seed] = 1
+        comp = [seed]
+        frontier = np.array([seed])
+        while frontier.size:
+            in_frontier[frontier] = True
+            sel = in_frontier[src] & (sign[dst] == 0)
+            in_frontier[frontier] = False
+            parent, child = src[sel], dst[sel]
+            if not child.size:
+                break
+            # one parent per child (first occurrence wins)
+            child, first = np.unique(child, return_index=True)
+            parent = parent[first]
+            agree = np.einsum("ij,ij->i", nr0[child], nr0[parent]) >= 0
+            sign[child] = np.where(agree, sign[parent], -sign[parent])
+            comp.extend(child.tolist())
+            frontier = child
+        # component global sign: keep the majority of the incoming
+        # orientation (local repairs only, no global flip surprises)
+        comp = np.asarray(comp)
+        if sign[comp].sum() < 0:
+            sign[comp] = -sign[comp]
+
+    out = nr0 * np.where(sign == 0, 1, sign)[:, None].astype(np.float32)
+    return jnp.asarray(out)

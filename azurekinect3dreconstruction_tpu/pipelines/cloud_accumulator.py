@@ -93,6 +93,9 @@ class CloudAccumulator:
         n = self.model_points.shape[0]
         normals = None
         if n:
+            from azurekinect3dreconstruction_tpu.ops.neighbors import (
+                auto_capacity,
+            )
             from azurekinect3dreconstruction_tpu.ops.normals import (
                 orient_normals_consistent,
             )
@@ -101,6 +104,7 @@ class CloudAccumulator:
             nr = estimate_normals_knn(
                 jnp.asarray(self.model_points), mask,
                 radius=3 * self.cfg.voxel_downsample, k=16,
+                capacity=auto_capacity(n),
                 orient_to=self.T_world_cam[:3, 3].astype(np.float32))
             # accumulated model = many viewpoints: finish with the
             # consistent-tangent-plane pass the reference applies on save

@@ -35,7 +35,8 @@ class MonoOdometryTSDF:
 
     def __init__(self, intrinsics: Intrinsics, config: Optional[PipelineConfig] = None,
                  backend: str = "auto", tracking: str = "frame_to_frame",
-                 model_refine_interval: int = 5, model_points: int = 32768):
+                 model_refine_interval: int = 5, model_points: int = 32768,
+                 model_min_inliers: int = 3000):
         """``tracking``: "frame_to_frame" (reference
         1camera-detectsSceneChanges.py odometry chaining) or
         "frame_to_model" — odometry predicts, then projective point-to-plane
@@ -49,6 +50,7 @@ class MonoOdometryTSDF:
         self.tracking = tracking
         self.model_refine_interval = model_refine_interval
         self.model_points = model_points
+        self.model_min_inliers = model_min_inliers
         self.rays = pixel_rays(intrinsics)
         self.volume = tsdf.create(self.cfg.tsdf)
         self.T_world_cam = np.eye(4)
@@ -115,13 +117,19 @@ class MonoOdometryTSDF:
             nb = int(self.volume.n_blocks)
             E = next((e for e in mc.EXTRACT_SIZES if e >= nb),
                      self.volume.tsdf.shape[0])
+            # extract at 4x the model budget and STRIDE-subsample: a budget
+            # overflow truncates in pool-slot (= first-seen block) order,
+            # which would bias the model toward the oldest-scanned region;
+            # striding over a larger emission covers all blocks uniformly
             mtris = self.model_points // 3
             v, _c, n_tris, _ovf = mc.extract_mesh_arrays(
                 self.volume, self.cfg.tsdf, max_cells=64 * 8192,
-                max_tris=mtris, extract_blocks=E)
+                max_tris=4 * mtris, extract_blocks=E)
+            v = v[:, :, ::4]  # (3, 3, mtris)
             pts = v.transpose(2, 0, 1).reshape(-1, 3)  # (3*mtris, 3)
+            n_keep = (jnp.minimum(n_tris, 4 * mtris) + 3) // 4
             mask = (jax.lax.broadcasted_iota(jnp.int32, (3 * mtris, 1), 0)[:, 0]
-                    < 3 * n_tris)
+                    < 3 * n_keep)
             self._model = (pts, mask)
         self.telemetry.tick_frame()
         self.telemetry.maybe_report()
@@ -137,15 +145,26 @@ class MonoOdometryTSDF:
             icp_projective,
         )
 
+        from azurekinect3dreconstruction_tpu.core import se3
+
         pts, mask = self._model
         maps = TargetMaps.from_depth(frame.depth, self.intr, rays=self.rays)
         init = jnp.asarray(np.linalg.inv(self.T_world_cam), jnp.float32)
         res = icp_projective(pts, mask, maps, self.intr, init=init,
                              max_iters=10,
                              dist_thr=self.cfg.registration.icp_distance_threshold)
-        fit = float(res.fitness)
         T = np.asarray(res.T, np.float64)
-        if fit > self.cfg.registration.min_fitness_icp and np.isfinite(T).all():
+        # gate on inlier COUNT, not fitness: the source is the WHOLE model
+        # surface, most of which legitimately projects outside the current
+        # frame once the map outgrows one viewpoint — fitness would fall
+        # below any fixed ratio and silently disable refinement. Also reject
+        # refinements that jump far from the odometry prediction.
+        ok = int(res.inliers) >= self.model_min_inliers and np.isfinite(T).all()
+        if ok:
+            d = np.asarray(se3.se3_log(jnp.asarray(
+                T @ np.asarray(self.T_world_cam), jnp.float32)))
+            ok = float(np.linalg.norm(d)) < 0.1
+        if ok:
             self.T_world_cam = np.linalg.inv(T)
             self.telemetry.count("model_icp_ok")
         else:

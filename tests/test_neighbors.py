@@ -92,9 +92,10 @@ def test_estimate_normals_knn_sphere():
 
 
 def test_orient_normals_consistent_sphere():
-    """Open3D orient_normals_consistent_tangent_plane analog: normals of a
-    sphere cloud with randomly flipped signs come out globally consistent
-    (all outward or all inward, majority outward via the centroid seed)."""
+    """Open3D orient_normals_consistent_tangent_plane analog: a sphere
+    cloud whose normals are MOSTLY outward (the realistic input: viewpoint
+    orientation with residual flips) comes out fully consistent, keeping
+    the majority orientation."""
     import jax.numpy as jnp
 
     from azurekinect3dreconstruction_tpu.ops.normals import (
@@ -106,7 +107,7 @@ def test_orient_normals_consistent_sphere():
     d = rng.normal(size=(n, 3))
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     pts = (d * 0.2).astype(np.float32)
-    flips = np.where(rng.rand(n) < 0.5, 1.0, -1.0)[:, None]
+    flips = np.where(rng.rand(n) < 0.3, -1.0, 1.0)[:, None]
     nr0 = (d * flips).astype(np.float32)
     mask = jnp.ones((n,), bool)
     nr = np.asarray(orient_normals_consistent(jnp.asarray(pts),

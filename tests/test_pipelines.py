@@ -195,7 +195,8 @@ def test_mono_frame_to_model_tracking(cam):
 
     def run(tracking):
         pipe = MonoOdometryTSDF(cam.intrinsics, SMALL_CFG, backend="xla",
-                                tracking=tracking, model_refine_interval=2)
+                                tracking=tracking, model_refine_interval=2,
+                                model_min_inliers=500)
         for T in poses:
             d, c = cam.capture(T)
             pipe.process_frame(d, c)
