@@ -85,9 +85,12 @@ def transfer_colors(mesh: TriangleMeshHost, cloud: PointCloudHost,
     n = pts.shape[0]
     mask = jnp.ones((n,), bool)
     # cell size = search radius: the 27-cell probe is complete only within
-    # one cell size, so a smaller cell would silently shrink the search
+    # one cell size, so a smaller cell would silently shrink the search.
+    # max_per_cell scales with the cell volume (a 3x cell holds ~27x the
+    # points of the cloud's native spacing — 8 slots would evict most true
+    # nearest neighbors)
     cells = build_cell_lists(pts, mask, 3 * radius, auto_capacity(n),
-                             max_per_cell=8)
+                             max_per_cell=32)
     v = jnp.asarray(mesh.vertices, jnp.float32)
     qmask = jnp.ones((v.shape[0],), bool)
     idx, _ = knn_gather(cells, pts, v, qmask, k=1, max_radius=3 * radius)

@@ -119,8 +119,24 @@ def orient_normals_consistent(points, normals, mask, radius: float,
     e_ok = (dst0 >= 0) & (dst0 != src0) & m[src0] & m[np.maximum(dst0, 0)]
     src = np.concatenate([src0[e_ok], dst0[e_ok]])
     dst = np.concatenate([dst0[e_ok], src0[e_ok]])
+    # CSR adjacency so each BFS level touches only its frontier's edges
+    # (scanning the whole edge array per level would be
+    # O(components * edges) on fragmented clouds)
+    eorder = np.argsort(src, kind="stable")
+    src, dst = src[eorder], dst[eorder]
+    starts = np.searchsorted(src, np.arange(n + 1))
 
-    in_frontier = np.zeros(n, bool)
+    def frontier_edges(frontier):
+        base = starts[frontier]
+        cnt = starts[frontier + 1] - base
+        total = int(cnt.sum())
+        if not total:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        first = np.cumsum(cnt) - cnt
+        eidx = (np.arange(total) - np.repeat(first, cnt)
+                + np.repeat(base, cnt))
+        return src[eidx], dst[eidx]
+
     for seed in range(n):
         if sign[seed] != 0 or not m[seed]:
             continue
@@ -128,10 +144,9 @@ def orient_normals_consistent(points, normals, mask, radius: float,
         comp = [seed]
         frontier = np.array([seed])
         while frontier.size:
-            in_frontier[frontier] = True
-            sel = in_frontier[src] & (sign[dst] == 0)
-            in_frontier[frontier] = False
-            parent, child = src[sel], dst[sel]
+            parent, child = frontier_edges(frontier)
+            keep = sign[child] == 0 if child.size else np.empty(0, bool)
+            parent, child = parent[keep], child[keep]
             if not child.size:
                 break
             # one parent per child (first occurrence wins)

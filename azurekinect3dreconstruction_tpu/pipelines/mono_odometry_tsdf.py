@@ -115,22 +115,28 @@ class MonoOdometryTSDF:
             # truncates — a subset of the surface is plenty for tracking).
             # Arrays stay on device, no host round trip.
             nb = int(self.volume.n_blocks)
-            E = next((e for e in mc.EXTRACT_SIZES if e >= nb),
-                     self.volume.tsdf.shape[0])
-            # extract at 4x the model budget and STRIDE-subsample: a budget
-            # overflow truncates in pool-slot (= first-seen block) order,
-            # which would bias the model toward the oldest-scanned region;
-            # striding over a larger emission covers all blocks uniformly
+            E = mc.snap_extract_blocks(nb, self.volume.tsdf.shape[0])
+            # extract at 4x the model budget and STRIDE-subsample by the
+            # ACTUAL emission size: a budget overflow truncates in pool-slot
+            # (= first-seen block) order, which would bias the model toward
+            # the oldest-scanned region; striding a larger emission covers
+            # all blocks uniformly, and small scenes keep full density
             mtris = self.model_points // 3
-            v, _c, n_tris, _ovf = mc.extract_mesh_arrays(
+            v, _c, n_tris, ovf = mc.extract_mesh_arrays(
                 self.volume, self.cfg.tsdf, max_cells=64 * 8192,
                 max_tris=4 * mtris, extract_blocks=E)
-            v = v[:, :, ::4]  # (3, 3, mtris)
+            nt = int(n_tris)
+            stride = 1 if nt <= mtris else (2 if nt <= 2 * mtris else 4)
+            v = v[:, :, ::stride][:, :, :mtris]  # (3, 3, mtris) all strides
             pts = v.transpose(2, 0, 1).reshape(-1, 3)  # (3*mtris, 3)
-            n_keep = (jnp.minimum(n_tris, 4 * mtris) + 3) // 4
+            n_keep = min(-(-nt // stride), mtris)
             mask = (jax.lax.broadcasted_iota(jnp.int32, (3 * mtris, 1), 0)[:, 0]
                     < 3 * n_keep)
             self._model = (pts, mask)
+            if bool(ovf):
+                # surface exceeds even the 4x emission: the subset is biased
+                # toward the oldest blocks — surface it instead of hiding it
+                self.telemetry.count("model_truncated")
         self.telemetry.tick_frame()
         self.telemetry.maybe_report()
         return self.T_world_cam

@@ -107,11 +107,11 @@ class IncrementalExtractor:
                     emit_mask[i] = True
             self.last_touched = int(emit_mask.sum())
 
-            E = next((e for e in mc.EXTRACT_SIZES if e >= nb), N)
+            E = mc.snap_extract_blocks(nb, N)
             while True:
                 v, c_, n_tris, ovf, cells = mc.extract_mesh_arrays(
                     vol, self.cfg, max_cells=self.max_cells,
-                    max_tris=self.max_tris, extract_blocks=min(E, N),
+                    max_tris=self.max_tris, extract_blocks=E,
                     emit_mask=jnp.asarray(emit_mask), return_cells=True)
                 if not bool(ovf):
                     break

@@ -70,6 +70,13 @@ _CORNERS = np.asarray(mt.CORNER_OFFSETS)  # (8, 3)
 EXTRACT_SIZES = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
 
+def snap_extract_blocks(n_alive: int, pool_size: int) -> int:
+    """Alive-prefix length snapped to the EXTRACT_SIZES ladder (one compile
+    per rung instead of per block count), clamped to the pool."""
+    E = next((e for e in EXTRACT_SIZES if e >= n_alive), pool_size)
+    return min(E, pool_size)
+
+
 def _neighbor_slots(table, block_coords):
     """(E, 8) pool slots of the 8 (0/1)^3 neighbor blocks (self = code 0)."""
     keys = vhash.pack_key(block_coords[:, None, :] + _CORNERS[None])  # (E, 8)
@@ -438,8 +445,7 @@ def extract_mesh(vol: TSDFVolume, cfg: TSDFConfig, max_cells: int = 65536,
     the TriangleMesh — extraction is a host-facing operation)."""
     n_alive = int(vol.n_blocks)
     N = vol.tsdf.shape[0]
-    E = next((e for e in EXTRACT_SIZES if e >= n_alive), N)
-    E = min(E, N)
+    E = snap_extract_blocks(n_alive, N)
     while True:
         verts_t, vcols_t, num_tris, overflow = extract_mesh_arrays(
             vol, cfg, max_cells=max_cells, max_tris=max_tris, extract_blocks=E

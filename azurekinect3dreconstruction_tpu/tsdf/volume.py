@@ -335,10 +335,11 @@ def extract_point_cloud_device(vol: TSDFVolume, cfg: TSDFConfig,
     """Device-side surface points by zero-crossing along +x/+y/+z.
 
     Returns (points (max_points, 3), colors (max_points, 3), mask) — all on
-    device, fixed capacity, so frame-to-model tracking (reference
-    InitialReconstruction-CUDA-2cam:653-674) can run without a host round
-    trip: feed the result straight into tracking.icp.icp_projective against
-    the current frame.
+    device, fixed capacity. This is the ``extract_point_cloud``-style API
+    (colored surface samples); the frame-to-model PIPELINE
+    (pipelines.mono_odometry_tsdf) sources its model from budget-bounded
+    marching-cubes vertices instead, which share the extraction fast path
+    and subsample without pool-order bias.
     """
     R = cfg.block_resolution
     N = vol.tsdf.shape[0]

@@ -212,5 +212,6 @@ def test_mono_frame_to_model_tracking(cam):
     assert pipe_m.telemetry._counters.get("model_icp_ok", 0) > 0, \
         "model refinement never engaged"
     _, err_f = run("frame_to_frame")
-    assert err_m < max(err_f * 1.5, 0.01), (err_m, err_f)
+    # the mode's contract: at least as accurate (small epsilon for fp noise)
+    assert err_m <= err_f + 5e-4, (err_m, err_f)
     assert err_m < 0.02, err_m
