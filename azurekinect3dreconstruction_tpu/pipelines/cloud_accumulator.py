@@ -40,6 +40,7 @@ class CloudAccumulator:
         self.model_points = np.zeros((0, 3), np.float32)
         self.model_colors = np.zeros((0, 3), np.float32)
         self.T_world_cam = np.eye(4)
+        self._cam_centers = [np.zeros(3)]  # trajectory, for normal orientation
         self.prev_maps: Optional[TargetMaps] = None
         self.telemetry = Telemetry()
         self.saver = ResultSaver(output_dir)
@@ -69,6 +70,7 @@ class CloudAccumulator:
         # grow the model: += world-frame points, periodic re-downsample
         w = np.asarray(se3.transform_points(
             jnp.asarray(self.T_world_cam, jnp.float32), flat))
+        self._cam_centers.append(self.T_world_cam[:3, 3].copy())
         c = np.asarray(frame.color[::4, ::4].reshape(-1, 3))
         m = np.asarray(mask)
         self.model_points = np.concatenate([self.model_points, w[m]])
@@ -104,13 +106,25 @@ class CloudAccumulator:
             nr = estimate_normals_knn(
                 jnp.asarray(self.model_points), mask,
                 radius=3 * self.cfg.voxel_downsample, k=16,
-                capacity=auto_capacity(n),
-                orient_to=self.T_world_cam[:3, 3].astype(np.float32))
-            # accumulated model = many viewpoints: finish with the
-            # consistent-tangent-plane pass the reference applies on save
-            # (Reconstruction-ResourceEfficient.py:169)
+                capacity=auto_capacity(n))
+            # orient each point toward the NEAREST trajectory viewpoint —
+            # a multi-view model has no single valid orientation center
+            # (orienting toward only the last camera flips everything it
+            # did not see), then the consistent-tangent-plane pass repairs
+            # residual flips (Reconstruction-ResourceEfficient.py:169)
+            nr = np.asarray(nr)
+            centers = np.asarray(self._cam_centers, np.float32)
+            if len(centers) > 256:  # bound the P x C distance matrix
+                centers = centers[:: len(centers) // 256 + 1]
+            # |p - c|^2 via the matmul form (the (P, C, 3) broadcast would
+            # allocate ~3x the already-large (P, C) matrix)
+            d2 = ((centers ** 2).sum(1)[None, :]
+                  - 2.0 * self.model_points @ centers.T)
+            nearest = centers[np.argmin(d2, axis=1)]
+            flip = np.einsum("ij,ij->i", nr, nearest - self.model_points) < 0
+            nr = np.where(flip[:, None], -nr, nr).astype(np.float32)
             nr = orient_normals_consistent(
-                jnp.asarray(self.model_points), nr, mask,
+                jnp.asarray(self.model_points), jnp.asarray(nr), mask,
                 radius=3 * self.cfg.voxel_downsample)
             normals = np.asarray(nr)
         cloud = PointCloudHost(points=self.model_points, colors=self.model_colors,

@@ -67,3 +67,22 @@ def test_pallas_odometry_respects_init(pair):
                                init=init, interpret=True)
     t, r = _err(res.T_target_source, T_true)
     assert t < 6e-3 and r < 4e-3
+
+
+def test_convergence_early_exit_matches_iteration_cap(pair):
+    """convergence_delta coverage: a huge tolerance exits after ONE applied
+    step per level, which must equal a (1,1,1) iteration schedule with the
+    exit disabled — exercising the conv-flag lanes and the
+    unwritten-output-retention the skip path relies on."""
+    import dataclasses
+
+    intr, i0, z0, i1, z1, _ = pair
+    one = dataclasses.replace(CFG, pyramid_iters=(1, 1, 1),
+                              convergence_delta=0.0)
+    early = dataclasses.replace(CFG, convergence_delta=1e9)
+    r_one = compute_odometry_tpu(i0, z0, i1, z1, intr, one, interpret=True)
+    r_early = compute_odometry_tpu(i0, z0, i1, z1, intr, early, interpret=True)
+    np.testing.assert_allclose(np.asarray(r_early.T_target_source),
+                               np.asarray(r_one.T_target_source), atol=1e-6)
+    np.testing.assert_allclose(float(r_early.fitness), float(r_one.fitness),
+                               atol=1e-6)
