@@ -39,8 +39,9 @@ class RGBDFrame:
         """Build from raw sensor arrays: u16 depth (native units) + u8 RGB."""
         d = jnp.asarray(depth_raw).astype(jnp.float32) / depth_scale
         d = jnp.where((d > depth_min) & (d < depth_trunc), d, 0.0)
-        c = jnp.asarray(color).astype(jnp.float32)
-        if c.dtype != jnp.float32 or np.asarray(color).dtype == np.uint8:
+        c_in = jnp.asarray(color)
+        c = c_in.astype(jnp.float32)
+        if c_in.dtype == jnp.uint8:  # dtype is metadata: no device sync
             c = c / 255.0
         c = jnp.clip(c, 0.0, 1.0)
         intensity = 0.299 * c[..., 0] + 0.587 * c[..., 1] + 0.114 * c[..., 2]

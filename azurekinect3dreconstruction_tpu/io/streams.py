@@ -132,9 +132,12 @@ class DeviceFeeder:
         self._buf: List[tuple] = []
 
     def put(self, *arrays) -> None:
+        import jax
         import jax.numpy as jnp
 
-        devs = tuple(jnp.asarray(a) for a in arrays)  # async host->device
+        # async host->device; tree_map handles nested structures (e.g. the
+        # ((d0,c0),(d1,c1)) pairs a multi-camera rig yields)
+        devs = jax.tree_util.tree_map(jnp.asarray, tuple(arrays))
         self._buf.append(devs)
         while len(self._buf) > self.depth:
             self._buf.pop(0)
@@ -147,3 +150,19 @@ class DeviceFeeder:
 
     def __len__(self) -> int:
         return len(self._buf)
+
+
+def prefetch_to_device(frames, depth: int = 2):
+    """Wrap a (depth, color) frame iterator with double-buffered host->device
+    uploads (BASELINE north star: "frames double-buffered to device"): frame
+    k+1's transfer is issued before frame k is yielded to the consumer, so
+    upload overlaps compute instead of serializing with it. Yields device
+    arrays; ``RGBDFrame.from_raw`` and every pipeline accept them as-is."""
+    feeder = DeviceFeeder(depth=depth)
+    it = iter(frames)
+    for arrays in it:
+        feeder.put(*arrays)
+        if len(feeder) >= depth:
+            yield feeder.get()
+    while len(feeder):
+        yield feeder.get()

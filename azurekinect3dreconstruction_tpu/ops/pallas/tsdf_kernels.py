@@ -364,7 +364,7 @@ def integrate_worklist(vol, depth, color, T_world_cam, intr: Intrinsics,
         worklist_size = next(
             (m for m in WORKLIST_SIZES if m >= na), meta_full.shape[1]
         )
-        worklist_size = min(worklist_size, meta_full.shape[1])
+    worklist_size = min(worklist_size, meta_full.shape[1])
     meta = meta_full[:, :worklist_size]
     p0, p1, p2 = prep_pyramids(jnp.asarray(depth), jnp.asarray(color),
                                intr.height, intr.width)
@@ -376,7 +376,8 @@ def integrate_worklist(vol, depth, color, T_world_cam, intr: Intrinsics,
     fn = _integrate_fn(cfg.block_resolution, vol.tsdf.shape[0], cfg.hash_capacity,
                        intr, cfg, worklist_size, interpret)
     tsdf, weight, colorv = fn(meta, params, p0, p1, p2, vol.tsdf, vol.weight, vol.color)
-    return vol._replace(tsdf=tsdf, weight=weight, color=colorv)
+    return vol._replace(tsdf=tsdf, weight=weight, color=colorv,
+                        overflow=vol.overflow | (n_active > worklist_size))
 
 
 # ---------------------------------------------------------------------------

@@ -79,16 +79,15 @@ def create_sharded(cfg: TSDFConfig, mesh: Mesh) -> TSDFVolume:
     )
 
 
-def _fuse_shard(local: TSDFVolume, depth, color, pose, rays,
-                intr: Intrinsics, cfg: TSDFConfig, n_blk: int,
-                stride: int, samples: int, dedup_budget: int) -> TSDFVolume:
-    """Per-(cam, blk)-device fusion body (inside shard_map): allocate this
-    blk shard from ALL cameras' candidate keys (all_gather over cam), then
-    integrate my camera's frame into my shard and psum the observation sums
-    over cam. Shared by the fusion-only and SLAM sharded steps."""
+def _alloc_shard(local: TSDFVolume, depth, pose, rays,
+                 cfg: TSDFConfig, n_blk: int,
+                 stride: int, samples: int, dedup_budget: int) -> TSDFVolume:
+    """Per-(cam, blk)-device allocation body (inside shard_map): insert into
+    this blk shard the keys IT OWNS out of ALL cameras' candidate key sets
+    (one kilobyte-scale all_gather over cam). Shared by the psum and
+    sequential-Pallas fusion paths."""
     my_blk = jax.lax.axis_index("blk")
 
-    # ---- allocation: candidates from ALL cameras ----------------
     d = depth[::stride, ::stride]
     r = rays[::stride, ::stride]
     valid = d > 0
@@ -120,11 +119,19 @@ def _fuse_shard(local: TSDFVolume, depth, color, pose, rays,
     idx = jnp.where(vals >= 0, vals, cfg.block_capacity)
     bc2 = local.block_coords.at[idx].set(vhash.unpack_key(all_keys),
                                          mode="drop")
-    local = local._replace(table_keys=table.keys, table_vals=table.vals,
-                           n_blocks=counter, block_coords=bc2,
-                           overflow=local.overflow | overflowed)
+    return local._replace(table_keys=table.keys, table_vals=table.vals,
+                          n_blocks=counter, block_coords=bc2,
+                          overflow=local.overflow | overflowed)
 
-    # ---- integration: my camera -> my shard; psum over cam -------
+
+def _integrate_psum(local: TSDFVolume, depth, color, pose,
+                    intr: Intrinsics, cfg: TSDFConfig) -> TSDFVolume:
+    """Dense fused update: my camera's observations into my shard, psum of
+    the observation sums over cam (order-independent weighted average). The
+    backend-portable path — runs anywhere, but the per-voxel image gather
+    over the WHOLE pool makes it ~45x slower than the Pallas worklist path
+    on real chips (docs/PERF.md); the TPU SLAM step uses
+    :func:`_integrate_pallas_seq` instead."""
     T_cw = se3.inverse(pose)
     Nl = local.tsdf.shape[0]
     Vl = cfg.block_resolution ** 3
@@ -166,29 +173,73 @@ def _fuse_shard(local: TSDFVolume, depth, color, pose, rays,
                           color=c_new.reshape(local.color.shape))
 
 
+def _integrate_pallas_seq(local: TSDFVolume, depths_all, colors_all,
+                          poses_all, intr: Intrinsics, cfg: TSDFConfig,
+                          worklist_size: int) -> TSDFVolume:
+    """TPU fusion body: sequentially integrate EVERY camera's (all_gathered)
+    frame into my shard with the Pallas worklist kernel. Replicas along the
+    cam axis compute identical pool states, so no pool-sized psum is needed —
+    the only collective is the kilobyte-to-megabyte frame all_gather done by
+    the caller. Sequential weighted-average fusion equals the psum form
+    exactly while weights stay below ``max_integration_weight`` (both reduce
+    to (t*w0 + sum dwt) / (w0 + sum dw)); at the clamp they differ by at most
+    one frame's observation, the same semantics as single-device sequential
+    integration."""
+    from azurekinect3dreconstruction_tpu.ops.pallas.tsdf_kernels import (
+        integrate_worklist,
+    )
+
+    for ci in range(depths_all.shape[0]):
+        local = integrate_worklist(local, depths_all[ci], colors_all[ci],
+                                   poses_all[ci], intr, cfg,
+                                   worklist_size=worklist_size,
+                                   interpret=False)
+    return local
+
+
+def _resolve_backend(backend: str) -> bool:
+    """True = use the Pallas kernels (TPU), False = XLA reference path."""
+    if backend == "auto":
+        return jax.default_backend() == "tpu"
+    assert backend in ("pallas", "xla"), backend
+    return backend == "pallas"
+
+
 _VOL_SPECS = (P("blk"), P("blk"), P("blk"), P("blk"), P("blk"), P("blk"),
               P("blk"), P("blk"))
 
 
 def make_sharded_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
                       stride: int = 4, samples: int = 3,
-                      dedup_budget: int = 2048):
+                      dedup_budget: int = 2048, backend: str = "auto",
+                      worklist_size: int = 2048):
     """Build the jitted multi-camera fusion step.
 
     step(vol, depths (n_cam, H, W), colors (n_cam, H, W, 3),
          poses (n_cam, 4, 4), rays (H, W, 2)) -> vol
 
     Per (cam, blk) device: allocate its shard from ALL cameras' candidate
-    keys, then integrate its own camera's frame into its shard and psum the
-    observation sums over cam.
+    keys, then fuse. ``backend`` picks the fusion body ("auto" = Pallas
+    worklist kernel on TPU via :func:`_integrate_pallas_seq`, dense
+    psum-fused XLA elsewhere — identical semantics, see docstrings).
     """
     n_blk = mesh.shape["blk"]
+    pallas = _resolve_backend(backend)
 
     def step(vol: TSDFVolume, depths, colors, poses, rays):
         def shard_fn(tk, tv, nb, bc, ts, wg, co, ovf, depth, color, pose, rays):
             local = TSDFVolume(tk, tv, nb[0], bc, ts, wg, co, ovf[0])
-            local = _fuse_shard(local, depth[0], color[0], pose[0], rays,
-                                intr, cfg, n_blk, stride, samples, dedup_budget)
+            local = _alloc_shard(local, depth[0], pose[0], rays, cfg, n_blk,
+                                 stride, samples, dedup_budget)
+            if pallas:
+                dall = jax.lax.all_gather(depth[0], "cam")
+                call_ = jax.lax.all_gather(color[0], "cam")
+                Tall = jax.lax.all_gather(pose[0], "cam")
+                local = _integrate_pallas_seq(local, dall, call_, Tall, intr,
+                                              cfg, worklist_size)
+            else:
+                local = _integrate_psum(local, depth[0], color[0], pose[0],
+                                        intr, cfg)
             return (local.table_keys, local.table_vals, local.n_blocks[None],
                     local.block_coords, local.tsdf, local.weight, local.color,
                     local.overflow[None])
@@ -212,28 +263,43 @@ def make_sharded_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
 def make_sharded_slam_batch(mesh: Mesh, intr: Intrinsics, pcfg,
                             stride: int = 4, samples: int = 3,
                             dedup_budget: int = 2048,
-                            min_fitness: float = 0.3):
+                            min_fitness: float = 0.3,
+                            backend: str = "auto",
+                            worklist_size: int = 2048):
     """Multi-chip SLAM: every camera row TRACKS its own stream (hybrid GN
     odometry, replicated over its blk columns — odometry is per-camera
     independent, so the cam axis is pure data parallelism) while fusion
-    stays block-sharded with the same all_gather/psum pattern as
-    :func:`make_sharded_step`. One jitted dispatch scans a whole frame
-    batch; collectives run inside the scan on every step.
+    stays block-sharded. One jitted dispatch scans a whole frame batch;
+    collectives run inside the scan on every step.
 
     batch(vol, T0 (n_cam,4,4), intensities (n_cam,F,H,W),
           depths (n_cam,F,H,W), colors (n_cam,F,H,W,3), rays)
         -> (vol, poses (n_cam,F-1,4,4), fits (n_cam,F-1))
 
     Frame 0 of each stream is the tracking reference (pose T0[cam]); frames
-    1..F-1 are tracked against their predecessor and integrated. Odometry is
-    the XLA pyramid solver (tracking.odometry) — backend-portable, so the
-    same step compiles on the CPU dryrun mesh and on real chips.
+    1..F-1 are tracked against their predecessor and integrated.
+
+    ``backend`` ("auto" = pallas on TPU, xla elsewhere) picks BOTH hot
+    bodies: odometry (Pallas whole-level GN kernel vs the XLA pyramid
+    solver — same gates/inverse/precision semantics, ~45x apart on real
+    chips per docs/PERF.md) and fusion (Pallas worklist integrate after a
+    frame all_gather over cam vs the dense psum update). The XLA pair keeps
+    the same step compiling on the CPU dryrun mesh.
     """
     from azurekinect3dreconstruction_tpu.tracking.odometry import compute_odometry
 
     n_blk = mesh.shape["blk"]
     cfg = pcfg.tsdf
     ocfg = pcfg.odometry
+    pallas = _resolve_backend(backend)
+    if pallas:
+        from azurekinect3dreconstruction_tpu.ops.pallas.odometry_kernels import (
+            compute_odometry_tpu,
+        )
+
+        odo = lambda pi, pd, i, d: compute_odometry_tpu(pi, pd, i, d, intr, ocfg)
+    else:
+        odo = lambda pi, pd, i, d: compute_odometry(pi, pd, i, d, intr, ocfg)
 
     def batch(vol: TSDFVolume, T0, intensities, depths, colors, rays):
         def shard_fn(tk, tv, nb, bc, ts, wg, co, ovf,
@@ -247,15 +313,23 @@ def make_sharded_slam_batch(mesh: Mesh, intr: Intrinsics, pcfg,
             def body(carry, fr):
                 local, T_prev, prev_int, prev_depth = carry
                 inten, d, c = fr
-                res = compute_odometry(prev_int, prev_depth, inten, d, intr, ocfg)
+                res = odo(prev_int, prev_depth, inten, d)
                 ok = (res.fitness > min_fitness) & jnp.all(
                     jnp.isfinite(res.T_target_source))
                 T_rel = jnp.where(ok, se3.inverse(res.T_target_source),
                                   jnp.eye(4, dtype=jnp.float32))
                 T = jnp.matmul(T_prev, T_rel,
                                precision=jax.lax.Precision.HIGHEST)
-                local2 = _fuse_shard(local, d, c, T, rays, intr, cfg, n_blk,
-                                     stride, samples, dedup_budget)
+                local2 = _alloc_shard(local, d, T, rays, cfg, n_blk,
+                                      stride, samples, dedup_budget)
+                if pallas:
+                    dall = jax.lax.all_gather(d, "cam")
+                    call_ = jax.lax.all_gather(c, "cam")
+                    Tall = jax.lax.all_gather(T, "cam")
+                    local2 = _integrate_pallas_seq(local2, dall, call_, Tall,
+                                                   intr, cfg, worklist_size)
+                else:
+                    local2 = _integrate_psum(local2, d, c, T, intr, cfg)
                 return (local2, T, inten, d), (T, res.fitness)
 
             init = (local, jnp.asarray(T0c, jnp.float32), intens[0], depth[0])

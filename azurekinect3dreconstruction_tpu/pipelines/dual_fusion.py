@@ -89,7 +89,8 @@ class DualCameraFusion:
                 self.mesh = sv.make_mesh(2, n_dev // 2)
                 self.volume = sv.create_sharded(self.cfg.tsdf, self.mesh)
                 self._sharded_step = sv.make_sharded_step(
-                    self.mesh, self.intr[0], self.cfg.tsdf, stride=2)
+                    self.mesh, self.intr[0], self.cfg.tsdf, stride=2,
+                    backend=self.backend)
                 self.sharded = True
                 log_info(f"sharded dual fusion: mesh cam=2 x blk={n_dev // 2}")
         if not self.sharded:
@@ -202,7 +203,7 @@ class DualCameraFusion:
     def merged_cloud(self, max_points: int = 200000) -> PointCloudHost:
         """Merged + downsampled display cloud with the active color mode
         (reference update_visualization :723-833 + apply_depth_colors)."""
-        pts_all, col_all = [], []
+        pts_all, col_all, msk_all = [], [], []
         for i, f in enumerate(self._last_frames):
             pose = self.extrinsics[i]
             if f is None or pose is None:
@@ -215,16 +216,19 @@ class DualCameraFusion:
                 cols = jnp.broadcast_to(base, pts.shape)
             else:
                 cols = f.color
-            w = se3.transform_points(jnp.asarray(pose, jnp.float32),
-                                     pts.reshape(-1, 3))
+            flat = pts.reshape(-1, 3)
+            w = se3.transform_points(jnp.asarray(pose, jnp.float32), flat)
             pts_all.append(w)
             col_all.append(cols.reshape(-1, 3))
+            # validity from CAMERA-frame depth, before the transform —
+            # invalid pixels backproject to the camera center in world
+            # coordinates, which is far from the origin for camera 1
+            msk_all.append(flat[:, 2] > 0)
         if not pts_all:
             return PointCloudHost(points=np.zeros((0, 3), np.float32))
         allp = jnp.concatenate(pts_all)
         allc = jnp.concatenate(col_all)
-        mask = allp[:, 2] != 0  # crude valid mask: invalid backprojects to origin
-        mask = jnp.linalg.norm(allp, axis=1) > 1e-6
+        mask = jnp.concatenate(msk_all)
         dp, dm, dc, _ = voxel_downsample_arrays(
             allp, mask, self.cfg.voxel_downsample, max_points, colors=allc)
         m = np.asarray(dm)

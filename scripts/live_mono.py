@@ -84,7 +84,11 @@ def main():
 
     inc = IncrementalExtractor(cfg.tsdf)
 
-    for i, (depth, color) in enumerate(frames):
+    # double-buffered host->device streaming: frame k+1 uploads while the
+    # SLAM step computes on frame k (io/streams.DeviceFeeder)
+    from azurekinect3dreconstruction_tpu.io.streams import prefetch_to_device
+
+    for i, (depth, color) in enumerate(prefetch_to_device(frames)):
         pipe.process_frame(depth, color)
         if i % pipe.cfg.vis_update_interval == 0 and not viewer.headless:
             if state["mesh_mode"]:
