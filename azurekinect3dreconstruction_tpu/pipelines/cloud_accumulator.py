@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,18 +26,31 @@ from azurekinect3dreconstruction_tpu.ops.neighbors import (
     estimate_normals_knn,
     voxel_downsample_arrays,
 )
-from azurekinect3dreconstruction_tpu.tracking.icp import TargetMaps, icp_point_to_plane
+from azurekinect3dreconstruction_tpu.tracking.features import compute_fpfh
+from azurekinect3dreconstruction_tpu.tracking.icp import (
+    TargetMaps,
+    evaluate_registration,
+    icp_point_to_plane,
+)
+from azurekinect3dreconstruction_tpu.tracking.ransac import global_registration
 from azurekinect3dreconstruction_tpu.utils.telemetry import Telemetry, log_warning
 from azurekinect3dreconstruction_tpu.viz.savers import ResultSaver
 
 
 class CloudAccumulator:
     def __init__(self, intrinsics: Intrinsics, config: Optional[PipelineConfig] = None,
-                 model_capacity: int = 262144, output_dir: str = "results"):
+                 model_capacity: int = 262144, output_dir: str = "results",
+                 coarse: bool = True):
+        """``coarse``: run the reference's FPFH + RANSAC bootstrap before
+        every point-to-plane refinement (Reconstruction.py:100-135 runs the
+        coarse stage on EVERY registration — it is what recovers tracking
+        when consecutive keyframes are far apart). Disable for dense smooth
+        streams where projective ICP alone suffices."""
         self.intr = intrinsics
         self.cfg = config or PipelineConfig()
         self.rays = pixel_rays(intrinsics)
         self.capacity = model_capacity
+        self.coarse = coarse
         self.model_points = np.zeros((0, 3), np.float32)
         self.model_colors = np.zeros((0, 3), np.float32)
         self.T_world_cam = np.eye(4)
@@ -45,6 +59,55 @@ class CloudAccumulator:
         self.telemetry = Telemetry()
         self.saver = ResultSaver(output_dir)
         self.frame_index = 0
+        self._key = jax.random.PRNGKey(3)
+
+    def _coarse_seed(self, src, s_mask) -> Optional[jnp.ndarray]:
+        """FPFH + RANSAC seed for the ICP refinement, matching the
+        reference's register_frames coarse stage (Reconstruction.py:100-135:
+        downsample -> normals -> FPFH -> RANSAC with the global fitness
+        gate). The gate uses the Open3D fitness SEMANTICS — overlap ratio of
+        the aligned clouds via evaluate_registration — not the RANSAC
+        correspondence-inlier share, which is pessimistic on smooth surfaces
+        where most FPFH mutual matches are wrong even at the true pose.
+        Returns T (curr -> prev camera coords) or None."""
+        import dataclasses
+
+        # recovery is the whole point of this stage: give RANSAC a full
+        # hypothesis pool even when the config trims it for the ICP-heavy
+        # paths (the reference budget is 4M sequential iterations,
+        # Reconstruction.py:113)
+        reg = dataclasses.replace(self.cfg.registration,
+                                  ransac_hypotheses=max(
+                                      8192, self.cfg.registration.ransac_hypotheses))
+        vox = 0.015
+        ds, dm, _, _ = voxel_downsample_arrays(src, s_mask, vox, 8192)
+        tgt = self.prev_maps.points.reshape(-1, 3)
+        dt, dtm, _, _ = voxel_downsample_arrays(tgt, tgt[:, 2] > 0, vox, 8192)
+        n_s = estimate_normals_knn(ds, dm, radius=2 * vox, k=12,
+                                   orient_to=np.zeros(3))
+        n_t = estimate_normals_knn(dt, dtm, radius=2 * vox, k=12,
+                                   orient_to=np.zeros(3))
+        f_s = compute_fpfh(ds, n_s, dm, radius=4 * vox, k=16)
+        f_t = compute_fpfh(dt, n_t, dtm, radius=4 * vox, k=16)
+        # multi-restart RANSAC (features reused, only the cheap hypothesis
+        # scoring re-runs), candidates ranked by cloud-overlap fitness
+        # (evaluate_registration = the reference's fitness semantics) — a
+        # single draw is high-variance on smooth geometry where most FPFH
+        # mutual matches are wrong
+        best, best_fit = None, -1.0
+        for _ in range(4):
+            self._key, sub = jax.random.split(self._key)
+            g = global_registration(ds, f_s, dm, dt, f_t, dtm, sub, reg,
+                                    distance_threshold=0.04)
+            T = np.asarray(g.T)
+            if not (se3.is_valid_transform(T) and np.isfinite(T).all()):
+                continue
+            fit, _ = evaluate_registration(ds, dm, dt, dtm, g.T, dist_thr=0.05)
+            if float(fit) > best_fit:
+                best, best_fit = g.T, float(fit)
+        if best is None:
+            self.telemetry.count("coarse_reject")
+        return best
 
     def process_frame(self, depth_raw, color_raw) -> None:
         cam = self.cfg.camera
@@ -57,11 +120,39 @@ class CloudAccumulator:
         flat = pts[::4, ::4].reshape(-1, 3)
         mask = flat[:, 2] > 0
         if self.prev_maps is not None:
+            reg = self.cfg.registration
             res = icp_point_to_plane(flat, mask, self.prev_maps, self.intr,
-                                     cfg=self.cfg.registration)
+                                     cfg=reg)
+            if self.coarse:
+                # the reference's coarse stage: FPFH + RANSAC seed, refined
+                # coarse-to-fine (a RANSAC seed can sit several cm off, so
+                # the first ICP pass runs at 3x the correspondence radius).
+                # The two results self-gate by fine-ICP fitness: smooth
+                # motion keeps the un-seeded answer, far-apart keyframes —
+                # where un-seeded projective ICP falls into the wrong
+                # minimum with visibly lower overlap — take the seeded one.
+                with self.telemetry.time_block("coarse"):
+                    allf = pts.reshape(-1, 3)
+                    seed = self._coarse_seed(allf, allf[:, 2] > 0)
+                if seed is not None:
+                    import dataclasses
+
+                    wide = dataclasses.replace(
+                        reg,
+                        icp_distance_threshold=3 * reg.icp_distance_threshold)
+                    r1 = icp_point_to_plane(flat, mask, self.prev_maps,
+                                            self.intr, init=seed, cfg=wide)
+                    r2 = icp_point_to_plane(flat, mask, self.prev_maps,
+                                            self.intr, init=r1.T, cfg=reg)
+                    if float(r2.fitness) > float(res.fitness):
+                        self.telemetry.count("coarse_won")
+                        res = r2
             if float(res.fitness) >= self.cfg.registration.min_fitness_icp:
-                self.T_world_cam = self.T_world_cam @ np.linalg.inv(
-                    np.asarray(res.T, np.float64))
+                # res.T maps CURR-frame points into the PREV frame
+                # (= T_prev_curr), so the camera chain composes directly:
+                # T_w_curr = T_w_prev @ T_prev_curr (same as Recorder)
+                self.T_world_cam = self.T_world_cam @ np.asarray(
+                    res.T, np.float64)
             else:
                 log_warning("frame registration rejected; pose kept")
                 self.telemetry.count("reg_fail")
