@@ -51,6 +51,36 @@ def generate_checkerboard(cols: int = 10, rows: int = 7, square_px: int = 100,
     return img
 
 
+def render_board_view(K: np.ndarray, T_board_cam: np.ndarray,
+                      pattern: Tuple[int, int] = (9, 6), square: float = 0.025,
+                      size: Tuple[int, int] = (640, 480)) -> np.ndarray:
+    """Synthetic pinhole view of a checkerboard (first-party homography +
+    warp, no cv2) — the hardware-free capture backend for the rig-calibration
+    workflow and its tests. ``T_board_cam`` maps board-plane coords (meters,
+    origin at the outer margin corner) into camera coords."""
+    from azurekinect3dreconstruction_tpu.calib.checkerboard_np import (
+        find_homography,
+        warp_perspective,
+    )
+
+    cols, rows = pattern
+    board = generate_checkerboard(cols + 1, rows + 1, 40, 40)
+    # board plane points (meters) of the board image corners (incl. margin)
+    w_m = (cols + 1) * square + 2 * square
+    h_m = (rows + 1) * square + 2 * square
+    obj = np.array([[0, 0, 0], [w_m, 0, 0], [w_m, h_m, 0], [0, h_m, 0]],
+                   np.float32)
+    R, t = T_board_cam[:3, :3], T_board_cam[:3, 3]
+    cam_pts = obj @ R.T + t
+    uv = (cam_pts / cam_pts[:, 2:]) @ np.asarray(K).T
+    dst = uv[:, :2].astype(np.float32)
+    src = np.array([[0, 0], [board.shape[1], 0],
+                    [board.shape[1], board.shape[0]], [0, board.shape[0]]],
+                   np.float32)
+    H = find_homography(src, dst)
+    return warp_perspective(board, H, size, border=255)
+
+
 def find_corners(gray_or_rgb: np.ndarray, pattern: Tuple[int, int] = (9, 6)
                  ) -> Optional[np.ndarray]:
     """Sub-pixel checkerboard corners ((N, 2) f32) or None."""

@@ -54,6 +54,25 @@ def detect_cameras(max_devices: int = 2) -> List[int]:
     return found
 
 
+def rig_serials(max_devices: int = 2) -> List[str]:
+    """Serial numbers of the attached rig, in device-id order — used to
+    validate saved rig calibrations (reference serial check
+    InitialReconstruction-CUDA-2cam:542-623)."""
+    k4a = _pyk4a()
+    serials = []
+    if k4a is None:
+        return serials
+    for device_id in detect_cameras(max_devices):
+        try:
+            dev = k4a.PyK4A(device_id=device_id)
+            dev.start()
+            serials.append(getattr(dev, "serial", "") or "")
+            dev.stop()
+        except Exception:
+            serials.append("")
+    return serials
+
+
 class K4ALiveSource(FrameSource):
     """Live frames as (transformed_depth_u16, rgb_u8) aligned to color."""
 

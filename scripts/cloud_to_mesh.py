@@ -15,6 +15,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,7 +39,13 @@ def main():
     ap.add_argument("--method", default="auto",
                     choices=["auto", "poisson", "ballpivot", "sdf"],
                     help="auto = Poisson -> ball-pivot -> sdf fallback chain")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU JAX backend (an offline converter "
+                         "gains nothing from the device tunnel's per-op "
+                         "latency on eager host-side preprocessing)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     verts, cols, _ = read_ply(args.input)
     if verts is None or not len(verts):

@@ -20,9 +20,14 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--source", default="auto", help="auto | k4a | synthetic")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU JAX backend")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     print(f"[INFO] jax backend: {jax.default_backend()}, devices: {jax.devices()}")
 

@@ -72,6 +72,12 @@ def main():
                          "jax.sharding.Mesh (needs >= 2 devices; on one "
                          "chip, pass --cpu with XLA_FLAGS=--xla_force_host_"
                          "platform_device_count=N to exercise it)")
+    ap.add_argument("--rig-calib", default=None, metavar="DIR",
+                    help="load the newest checkerboard rig calibration from "
+                         "DIR (scripts/calibrate_rig.py output; serials are "
+                         "validated against the attached rig — reference "
+                         "InitialReconstruction-CUDA-2cam:542-623) instead "
+                         "of FPFH auto-calibration")
     args = ap.parse_args()
     apply_backend_overrides(args)
 
@@ -84,6 +90,23 @@ def main():
     )
     pipe = DualCameraFusion((intr, intr), cfg, backend=args.backend,
                             output_dir=args.output, sharded=args.sharded)
+    if args.rig_calib:
+        from azurekinect3dreconstruction_tpu.calib.extrinsics import RigCalibration
+
+        serials = None
+        if args.source.startswith("k4a"):
+            from azurekinect3dreconstruction_tpu.io.k4a_live import rig_serials
+
+            serials = rig_serials()
+        cal = RigCalibration.load_newest(args.rig_calib,
+                                         expected_serials=serials)
+        if cal is None:
+            raise SystemExit(f"no matching rig calibration in {args.rig_calib}")
+        pipe.extrinsics = [np.asarray(e) for e in cal.extrinsics]
+        pipe.calibrated = True
+        log_info(f"rig calibration loaded: baseline "
+                 f"{np.linalg.norm(cal.extrinsics[1][:3, 3]):.4f} m "
+                 f"(serials {cal.serials})")
     viewer = make_viewer(args, "dual-camera fusion")
     viewer.register_key("S", pipe.save_current_state, "save cloud + mesh")
     viewer.register_key("R", pipe.recalibrate, "recalibrate extrinsics (ICP)")
@@ -94,7 +117,11 @@ def main():
     else:
         frames = synthetic_pair_frames(args, intr)
 
-    for i, pair in enumerate(frames):
+    # double-buffered host->device streaming (io/streams.DeviceFeeder):
+    # the next pair uploads while the fusion step computes on this one
+    from azurekinect3dreconstruction_tpu.io.streams import prefetch_to_device
+
+    for i, pair in enumerate(prefetch_to_device(frames)):
         pipe.process_frames(pair)
         if i % cfg.vis_update_interval == 0 and not viewer.headless:
             viewer.update_cloud("merged", pipe.merged_cloud())

@@ -81,27 +81,10 @@ def test_checkerboard_generate_and_detect():
 
 
 def _render_board(K, T_board_cam, pattern=(9, 6), square=0.025, size=(640, 480)):
-    """Synthetic pinhole view of a checkerboard for calibration tests
-    (first-party homography + warp — no cv2 needed)."""
-    from azurekinect3dreconstruction_tpu.calib.checkerboard_np import (
-        find_homography,
-        warp_perspective,
-    )
+    """Synthetic board view — the shipped renderer, re-exported for tests."""
+    from azurekinect3dreconstruction_tpu.calib.checkerboard import render_board_view
 
-    cols, rows = pattern
-    board = generate_checkerboard(cols + 1, rows + 1, 40, 40)
-    # board plane points (meters) of the board image corners
-    w_m = (cols + 1) * square + 2 * square
-    h_m = (rows + 1) * square + 2 * square
-    obj = np.array([[0, 0, 0], [w_m, 0, 0], [w_m, h_m, 0], [0, h_m, 0]], np.float32)
-    R, t = T_board_cam[:3, :3], T_board_cam[:3, 3]
-    cam_pts = obj @ R.T + t
-    uv = (cam_pts / cam_pts[:, 2:]) @ K.T
-    dst = uv[:, :2].astype(np.float32)
-    src = np.array([[0, 0], [board.shape[1], 0],
-                    [board.shape[1], board.shape[0]], [0, board.shape[0]]], np.float32)
-    H = find_homography(src, dst)
-    return warp_perspective(board, H, size, border=255)
+    return render_board_view(K, T_board_cam, pattern, square, size)
 
 
 def test_synthetic_stereo_calibration():
