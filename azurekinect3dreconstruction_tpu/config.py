@@ -84,7 +84,7 @@ class OdometryConfig:
     """
 
     pyramid_iters: Tuple[int, ...] = (20, 10, 5)  # coarse->fine handled internally
-    max_depth_diff: float = 0.07  # meters; correspondence gate
+    max_depth_diff: float = 0.03  # meters; correspondence gate (reference value)
     min_depth: float = 0.1
     max_depth: float = 3.0
     sigma_intensity: float = 0.125  # photometric residual scale (Huber-ish weight)

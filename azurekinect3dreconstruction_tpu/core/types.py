@@ -36,15 +36,30 @@ class RGBDFrame:
     @staticmethod
     def from_raw(depth_raw, color, depth_scale: float = 1000.0, depth_trunc: float = 3.0,
                  depth_min: float = 0.1) -> "RGBDFrame":
-        """Build from raw sensor arrays: u16 depth (native units) + u8 RGB."""
-        d = jnp.asarray(depth_raw).astype(jnp.float32) / depth_scale
+        """Build from raw sensor arrays: u16 depth (native units) + u8 RGB.
+
+        Scaling uses a precomputed f32 reciprocal MULTIPLY, not a division:
+        inside jit XLA rewrites division-by-constant to reciprocal-multiply
+        anyway (measured, 1-ulp difference), so the multiply is the only form
+        that is bit-identical between this eager decode and its traced twin
+        ``pipelines.mono_odometry_tsdf.decode_raw_frame``."""
+        d = jnp.asarray(depth_raw).astype(jnp.float32) * np.float32(1.0 / depth_scale)
         d = jnp.where((d > depth_min) & (d < depth_trunc), d, 0.0)
         c_in = jnp.asarray(color)
         c = c_in.astype(jnp.float32)
         if c_in.dtype == jnp.uint8:  # dtype is metadata: no device sync
-            c = c / 255.0
+            c = c * np.float32(1.0 / 255.0)
+            # luma via EXACT integer arithmetic (sums < 2^24, f32-exact) +
+            # one f32 scale: float mul/add chains get FMA-contracted
+            # differently inside vs outside jit (1-ulp divergence), integers
+            # cannot — keeps this decode bit-identical to the traced twin
+            ci = c_in.astype(jnp.int32)
+            luma = (299 * ci[..., 0] + 587 * ci[..., 1] + 114 * ci[..., 2])
+            intensity = luma.astype(jnp.float32) * np.float32(1.0 / 255000.0)
+        else:
+            intensity = (0.299 * c[..., 0] + 0.587 * c[..., 1]
+                         + 0.114 * c[..., 2])
         c = jnp.clip(c, 0.0, 1.0)
-        intensity = 0.299 * c[..., 0] + 0.587 * c[..., 1] + 0.114 * c[..., 2]
         return RGBDFrame(depth=d, color=c, intensity=intensity)
 
     @property

@@ -64,7 +64,9 @@ class MonoOdometryTSDF:
         self._T_dev = jnp.eye(4, dtype=jnp.float32)
         self._traj_dev = [self._T_dev]
         self._fits_dev = []  # device fitness scalars, one per tracked frame
-        self.prev: Optional[RGBDFrame] = None
+        self.prev: Optional[RGBDFrame] = None  # frame_to_model / frame-0 only
+        self._prev_int = None  # device intensity of the previous frame
+        self._prev_depth = None  # device depth (meters) of the previous frame
         self.telemetry = Telemetry()
         self.frame_index = 0
         self._model = None  # (points, mask) device cache for frame-to-model
@@ -104,35 +106,40 @@ class MonoOdometryTSDF:
         self._traj_dev = [self._T_dev]
         self._fits_dev = []
         self.prev = None
+        self._prev_int = None
+        self._prev_depth = None
         self.frame_index = 0
         self._model = None
 
     def _get_step(self):
-        """Fused tracking+fusion step: Pallas kernels when the backend
-        resolves to TPU, the identical-semantics XLA mirror elsewhere."""
+        """Fused raw-frame step (decode + odometry + gate + fusion in ONE
+        jitted dispatch): Pallas kernels when the backend resolves to TPU,
+        the identical-semantics XLA mirror elsewhere."""
         if self._step is None:
             on_tpu = jax.default_backend() == "tpu"
             use_pallas = self.backend == "pallas" or (
                 self.backend == "auto" and on_tpu)
-            if use_pallas:
-                self._step = make_device_slam_step(
-                    self.intr, self.cfg, worklist_size=self.worklist_size,
-                    stride=2, min_fitness=self.MIN_FITNESS,
-                    interpret=not on_tpu)
-            else:
-                self._step = make_xla_slam_step(
-                    self.intr, self.cfg, stride=2,
-                    min_fitness=self.MIN_FITNESS)
+            self._step = make_raw_slam_step(
+                self.intr, self.cfg, worklist_size=self.worklist_size,
+                stride=2, min_fitness=self.MIN_FITNESS,
+                backend="pallas" if use_pallas else "xla",
+                interpret=use_pallas and not on_tpu)
         return self._step
 
     def process_frame(self, depth_raw, color_raw):
         """Track + fuse one frame; returns the (device-resident) camera-to-
         world pose used. The return and all tracked state stay on device —
-        nothing here blocks on the TPU (VERDICT r2 weak #2)."""
+        nothing here blocks on the TPU (VERDICT r2 weak #2), and in
+        frame_to_frame mode the host work per frame is exactly one raw-array
+        transfer plus one dispatch (decode runs inside the step)."""
         cam = self.cfg.camera
-        frame = RGBDFrame.from_raw(depth_raw, color_raw, cam.depth_scale,
-                                   cam.depth_trunc, cam.depth_min)
-        if self.prev is None:
+        frame = None
+        if self.tracking == "frame_to_model" or self._prev_int is None:
+            # eager decode only where the mode needs host-side refinement
+            # (frame_to_model syncs per frame by design) or on frame 0
+            frame = RGBDFrame.from_raw(depth_raw, color_raw, cam.depth_scale,
+                                       cam.depth_trunc, cam.depth_min)
+        if self._prev_int is None:
             # first frame: integrate at the identity/world origin
             with self.telemetry.time_block("step"):
                 self.volume = tsdf.integrate_frame(
@@ -140,15 +147,20 @@ class MonoOdometryTSDF:
                     self._T_dev, self.intr, self.cfg.tsdf,
                     backend=self.backend,
                 )
+            self._prev_int, self._prev_depth = frame.intensity, frame.depth
         else:
-            # one dispatch: odometry + fitness gate (jnp.where, device-side
-            # identity fallback — reference :258-260) + allocate + integrate
+            # one dispatch: raw decode + odometry + fitness gate (jnp.where,
+            # device-side identity fallback — reference :258-260) + allocate
+            # + integrate; the decoded frame comes back for the next step
             step = self._get_step()
             with self.telemetry.time_block("step"):
-                self.volume, self._T_dev, fit = step(
+                (self.volume, self._T_dev, fit,
+                 self._prev_int, self._prev_depth) = step(
                     self.volume, self._T_dev,
-                    self.prev.intensity, self.prev.depth,
-                    frame.intensity, frame.depth, frame.color, self.rays)
+                    self._prev_int, self._prev_depth,
+                    depth_raw, color_raw, self.rays,
+                    # traced scalars: live '=/-/[/]' retuning, no recompile
+                    1.0 / cam.depth_scale, cam.depth_min, cam.depth_trunc)
             self._fits_dev.append(fit)
             if self.tracking == "frame_to_model" and self._model is not None:
                 with self.telemetry.time_block("model_icp"):
@@ -238,12 +250,9 @@ class MonoOdometryTSDF:
 # ---------------------------------------------------------------------------
 
 
-def make_xla_slam_step(intr: Intrinsics, cfg: PipelineConfig,
-                       stride: int = 2, min_fitness: float = 0.3):
-    """XLA mirror of :func:`make_device_slam_step` for backends without the
-    Pallas kernels — same fitness gate, inverse, precision and fusion
-    semantics, all on device in one dispatch. Used by the class pipeline on
-    CPU and by the driver's non-TPU compile check (``__graft_entry__``)."""
+def _xla_step_fn(intr: Intrinsics, cfg: PipelineConfig,
+                 stride: int = 2, min_fitness: float = 0.3):
+    """Unjitted XLA tracking+fusion body (see :func:`make_xla_slam_step`)."""
     from azurekinect3dreconstruction_tpu.core import se3
 
     ocfg = cfg.odometry
@@ -262,20 +271,23 @@ def make_xla_slam_step(intr: Intrinsics, cfg: PipelineConfig,
         vol = tsdf.integrate(vol, depth, color, T, intr, tcfg)
         return vol, T, res.fitness
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
 
 
-def make_device_slam_step(intr: Intrinsics, cfg: PipelineConfig,
-                          worklist_size: int = 2048, stride: int = 2,
-                          min_fitness: float = 0.3, interpret: bool = False):
-    """The TPU-resident form of this pipeline: one jitted step that tracks
-    (hybrid odometry vs the previous frame, identity fallback on low fitness)
-    and fuses — no host round trip per frame. Batch with
-    :func:`make_device_slam_batch` to amortize dispatches entirely.
+def make_xla_slam_step(intr: Intrinsics, cfg: PipelineConfig,
+                       stride: int = 2, min_fitness: float = 0.3):
+    """XLA mirror of :func:`make_device_slam_step` for backends without the
+    Pallas kernels — same fitness gate, inverse, precision and fusion
+    semantics, all on device in one dispatch. Used by the class pipeline on
+    CPU and by the driver's non-TPU compile check (``__graft_entry__``)."""
+    return jax.jit(_xla_step_fn(intr, cfg, stride, min_fitness),
+                   donate_argnums=(0,))
 
-    step(vol, T_prev (4,4), prev_intensity, prev_depth, intensity, depth,
-         color, rays) -> (vol, T_world_cam, fitness)
-    """
+
+def _device_step_fn(intr: Intrinsics, cfg: PipelineConfig,
+                    worklist_size: int = 2048, stride: int = 2,
+                    min_fitness: float = 0.3, interpret: bool = False):
+    """Unjitted Pallas tracking+fusion body (see :func:`make_device_slam_step`)."""
     from azurekinect3dreconstruction_tpu.ops.pallas.tsdf_kernels import integrate_step
     from azurekinect3dreconstruction_tpu.ops.pallas.odometry_kernels import (
         compute_odometry_tpu,
@@ -295,6 +307,84 @@ def make_device_slam_step(intr: Intrinsics, cfg: PipelineConfig,
         vol = integrate_step(vol, depth, color, T, rays, intr, cfg.tsdf,
                              worklist_size, stride, interpret)
         return vol, T, res.fitness
+
+    return step
+
+
+def make_device_slam_step(intr: Intrinsics, cfg: PipelineConfig,
+                          worklist_size: int = 2048, stride: int = 2,
+                          min_fitness: float = 0.3, interpret: bool = False):
+    """The TPU-resident form of this pipeline: one jitted step that tracks
+    (hybrid odometry vs the previous frame, identity fallback on low fitness)
+    and fuses — no host round trip per frame. Batch with
+    :func:`make_device_slam_batch` to amortize dispatches entirely.
+
+    step(vol, T_prev (4,4), prev_intensity, prev_depth, intensity, depth,
+         color, rays) -> (vol, T_world_cam, fitness)
+    """
+    return jax.jit(
+        _device_step_fn(intr, cfg, worklist_size, stride, min_fitness,
+                        interpret),
+        donate_argnums=(0,))
+
+
+def decode_raw_frame(depth_raw, color_raw, inv_scale, depth_min, depth_trunc):
+    """Traced raw-sensor decode: u16 depth (native units) -> meters with
+    min/trunc masking, u8 RGB -> [0,1] float + luma intensity. The traced
+    twin of :meth:`RGBDFrame.from_raw` (same ops, same masking) so the
+    decode can live INSIDE a jitted step instead of costing a handful of
+    eager dispatches per frame. Scaling is a reciprocal MULTIPLY (like
+    ``from_raw``): a `/ constant` would compile to the same multiply inside
+    jit but stay a true division in the eager twin — 1 ulp apart.
+
+    ``inv_scale``/``depth_min``/``depth_trunc`` are TRACED scalars (jit
+    inputs, not baked constants): the live loops retune depth decoding at
+    runtime (reference CreateMesh.py:470-501 '=/-/[/]' keys) and must not
+    recompile — pass ``1.0 / cam.depth_scale`` computed on host."""
+    d = (jnp.asarray(depth_raw).astype(jnp.float32)
+         * jnp.asarray(inv_scale, jnp.float32))
+    d = jnp.where((d > depth_min) & (d < depth_trunc), d, 0.0)
+    c_in = jnp.asarray(color_raw)
+    c = c_in.astype(jnp.float32)
+    if c_in.dtype == jnp.uint8:  # dtype is trace-time metadata
+        c = c * np.float32(1.0 / 255.0)
+        # exact integer luma — see RGBDFrame.from_raw for why
+        ci = c_in.astype(jnp.int32)
+        luma = (299 * ci[..., 0] + 587 * ci[..., 1] + 114 * ci[..., 2])
+        intensity = luma.astype(jnp.float32) * np.float32(1.0 / 255000.0)
+    else:
+        intensity = 0.299 * c[..., 0] + 0.587 * c[..., 1] + 0.114 * c[..., 2]
+    c = jnp.clip(c, 0.0, 1.0)
+    return d, c, intensity
+
+
+def make_raw_slam_step(intr: Intrinsics, cfg: PipelineConfig,
+                       worklist_size: int = 2048, stride: int = 2,
+                       min_fitness: float = 0.3, backend: str = "pallas",
+                       interpret: bool = False):
+    """The live-loop hot path: ONE jitted dispatch per frame, fed RAW sensor
+    arrays (u16 depth + u8 color, exactly what the capture thread / replay
+    yields). Decode, odometry, gate, allocate and integrate all fuse into a
+    single executable, and the returned decoded frame feeds the next call —
+    so per frame the host does one transfer (u16 is half the bytes of f32)
+    and one dispatch, nothing else. Decode parameters ride along as traced
+    scalars so runtime depth tuning ('=/-/[/]') needs no recompile.
+
+    step(vol, T_prev, prev_intensity, prev_depth, depth_raw, color_raw,
+         rays, inv_scale, depth_min, depth_trunc)
+        -> (vol, T_world_cam, fitness, intensity, depth_m)
+    """
+    inner = (_device_step_fn(intr, cfg, worklist_size, stride, min_fitness,
+                             interpret) if backend == "pallas"
+             else _xla_step_fn(intr, cfg, stride, min_fitness))
+
+    def step(vol, T_prev, prev_int, prev_depth, depth_raw, color_raw, rays,
+             inv_scale, depth_min, depth_trunc):
+        d, c, inten = decode_raw_frame(depth_raw, color_raw, inv_scale,
+                                       depth_min, depth_trunc)
+        vol, T, fit = inner(vol, T_prev, prev_int, prev_depth, inten, d, c,
+                            rays)
+        return vol, T, fit, inten, d
 
     return jax.jit(step, donate_argnums=(0,))
 

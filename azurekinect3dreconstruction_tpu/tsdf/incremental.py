@@ -36,9 +36,43 @@ import jax
 
 @jax.jit
 def _checksums(vol: TSDFVolume):
-    """(change_checksum, monotonic_checksum) per block, one fused pass."""
-    return (jnp.sum(vol.weight + jnp.abs(vol.tsdf), axis=(1, 2)),
-            jnp.sum(vol.weight, axis=(1, 2)))
+    """(change_checksum, monotonic_checksum) per block, one fused pass.
+    Stacked into ONE array so the host pulls both in a single transfer."""
+    return jnp.stack([jnp.sum(vol.weight + jnp.abs(vol.tsdf), axis=(1, 2)),
+                      jnp.sum(vol.weight, axis=(1, 2))])
+
+
+def _pack_np(coords: np.ndarray) -> np.ndarray:
+    """(..., 3) int block coords -> int64 keys (host-side, vectorized)."""
+    c = coords.astype(np.int64)
+    return c[..., 0] + (c[..., 1] << 21) + (c[..., 2] << 42)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("ntb",))
+def _pack_pull(v, c, cells, ntb: int):
+    """Bundle stage-2 outputs into ONE (21, ntb) f32 array for a single
+    device->host transfer: rows 0-8 vertex xyz (vtx-major), 9-17 colors,
+    18-20 cell coords (exact in f32: |coord| <= 8192)."""
+    T = v.shape[2]
+    return jnp.concatenate([
+        v.reshape(9, T)[:, :ntb],
+        c.reshape(9, T)[:, :ntb],
+        cells.astype(jnp.float32)[:, :ntb],
+    ], axis=0)
+
+
+def _slice_bucket(n: int, cap: int) -> int:
+    """Round a dynamic triangle count up to a coarse bucket so the
+    device-side pre-transfer slice compiles once per bucket, not once per
+    distinct count (a fresh count per update would mean a fresh XLA compile
+    per frame — measured as the dominant incremental-update cost)."""
+    b = 4096
+    while b < n:
+        b *= 2
+    return min(b, cap)
 
 
 class IncrementalExtractor:
@@ -52,6 +86,7 @@ class IncrementalExtractor:
         self._prev_mono: Optional[np.ndarray] = None
         self._prev_nb = 0
         self._assembled: Optional[TriangleMeshHost] = None
+        self._coords_host: Optional[np.ndarray] = None
         self.last_touched = 0  # blocks re-extracted on the last update
 
     def reset(self) -> None:
@@ -60,6 +95,7 @@ class IncrementalExtractor:
         self._prev_mono = None
         self._prev_nb = 0
         self._assembled = None
+        self._coords_host = None
 
     def update(self, vol: TSDFVolume) -> TriangleMeshHost:
         """Refresh the cache against the volume's current state and return
@@ -71,7 +107,8 @@ class IncrementalExtractor:
         # in the tsdf magnitudes, which keep moving while the surface does;
         # the plain weight sum is kept too — it is MONOTONIC, so any decrease
         # proves a volume reset even if the pool already regrew larger
-        ws, mono = (np.asarray(a) for a in _checksums(vol))
+        cks = np.asarray(_checksums(vol))  # one (2, N) transfer
+        ws, mono = cks[0], cks[1]
         if nb < self._prev_nb or (
                 self._prev_mono is not None
                 and bool(np.any(mono < self._prev_mono))):
@@ -90,21 +127,25 @@ class IncrementalExtractor:
         if self.last_touched:
             # a changed block's own surface can shift cells in the -1
             # neighbor blocks' boundary layer too: dilate the emit set by
-            # the 7 negative-corner neighbors (cells sample corners at +1)
-            coords = np.asarray(vol.block_coords[:nb])
-            chg = set(map(tuple, coords[changed[:nb]]))
-            emit = set(chg)
-            for c in chg:
-                for dx in (0, -1):
-                    for dy in (0, -1):
-                        for dz in (0, -1):
-                            emit.add((c[0] + dx, c[1] + dy, c[2] + dz))
+            # the 7 negative-corner neighbors (cells sample corners at +1).
+            # All vectorized: packed-key sorted search, no Python-set loops.
+            # Block coords only ever append, so the host copy is reused
+            # until the pool grows (saves one ~30 ms tunnel pull per update).
+            if self._coords_host is None or len(self._coords_host) != nb:
+                self._coords_host = np.asarray(vol.block_coords[:nb])
+            coords = self._coords_host
+            all_keys = _pack_np(coords)
+            ak_order = np.argsort(all_keys)
+            ak_sorted = all_keys[ak_order]
+            chg = coords[changed[:nb]]  # (nc, 3)
+            offs = np.stack(np.meshgrid([0, -1], [0, -1], [0, -1],
+                                        indexing="ij"), -1).reshape(8, 3)
+            want = _pack_np(chg[:, None, :] + offs[None]).reshape(-1)
+            pos = np.searchsorted(ak_sorted, want)
+            pos_c = np.minimum(pos, nb - 1)
+            hit = ak_sorted[pos_c] == want
             emit_mask = np.zeros((N,), bool)
-            keys = {tuple(c): i for i, c in enumerate(map(tuple, coords))}
-            for c in emit:
-                i = keys.get(c)
-                if i is not None:
-                    emit_mask[i] = True
+            emit_mask[ak_order[pos_c[hit]]] = True
             self.last_touched = int(emit_mask.sum())
 
             E = mc.snap_extract_blocks(nb, N)
@@ -120,11 +161,19 @@ class IncrementalExtractor:
                 self.max_cells *= 4
                 self.max_tris *= 4
             nt = int(n_tris)
-            # slice ON DEVICE before pulling: the transfer scales with the
-            # emitted triangle count, not the static budget
-            verts = np.asarray(v[:, :, :nt]).transpose(2, 0, 1)
-            vcols = np.asarray(c_[:, :, :nt]).transpose(2, 0, 1)
-            blk = np.asarray(cells[:, :nt]).T // self.cfg.block_resolution
+            # ONE device->host pull: verts + colors + cells pack into a
+            # single (21, ntb) array sliced ON DEVICE to a BUCKETED length —
+            # the transfer scales with the emitted triangle count, the
+            # bucket keeps the slice's compiled-shape count finite, and a
+            # single pull pays one tunnel round trip instead of three
+            ntb = _slice_bucket(nt, self.max_tris)
+            packed = np.asarray(_pack_pull(v, c_, cells, ntb))
+            verts = (packed[:9].reshape(3, 3, ntb)
+                     .transpose(2, 0, 1)[:nt].astype(np.float32))
+            vcols = (packed[9:18].reshape(3, 3, ntb)
+                     .transpose(2, 0, 1)[:nt].astype(np.float32))
+            blk = (packed[18:].T[:nt].astype(np.int64)
+                   // self.cfg.block_resolution)
 
             # replace every emitted block's cache entry (emitted blocks with
             # zero triangles now must drop their stale entry), and prune
@@ -132,7 +181,7 @@ class IncrementalExtractor:
             emitted = {tuple(c) for c in coords[emit_mask[:nb]]}
             for k in emitted:
                 self._cache.pop(k, None)
-            alive_keys = set(keys)
+            alive_keys = set(map(tuple, coords))
             for k in [k for k in self._cache if k not in alive_keys]:
                 self._cache.pop(k)
             if nt:

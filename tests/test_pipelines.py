@@ -245,3 +245,47 @@ def test_mono_frame_to_model_tracking(cam):
     # the mode's contract: at least as accurate (small epsilon for fp noise)
     assert err_m <= err_f + 5e-4, (err_m, err_f)
     assert err_m < 0.02, err_m
+
+
+def test_raw_slam_step_matches_eager_decode(cam):
+    """The fused raw-frame step (u16/u8 decode INSIDE the jitted dispatch)
+    must be bit-compatible with decoding via RGBDFrame.from_raw and running
+    the plain XLA step — same masking constants, same fitness/pose."""
+    import jax.numpy as jnp
+
+    from azurekinect3dreconstruction_tpu.core.types import RGBDFrame
+    from azurekinect3dreconstruction_tpu.core.camera import pixel_rays
+    from azurekinect3dreconstruction_tpu.pipelines.mono_odometry_tsdf import (
+        make_raw_slam_step,
+        make_xla_slam_step,
+    )
+    from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf
+
+    intr = cam.intrinsics
+    rays = pixel_rays(intr)
+    camc = SMALL_CFG.camera
+    d0, c0 = cam.capture(None)
+    d1, c1 = cam.capture(orbit_trajectory(3, radius=0.2, angle_span=0.2)[1])
+    f0 = RGBDFrame.from_raw(d0, c0, camc.depth_scale, camc.depth_trunc,
+                            camc.depth_min)
+    f1 = RGBDFrame.from_raw(d1, c1, camc.depth_scale, camc.depth_trunc,
+                            camc.depth_min)
+
+    eye = jnp.eye(4, dtype=jnp.float32)
+    ref_step = make_xla_slam_step(intr, SMALL_CFG)
+    vol_ref, T_ref, fit_ref = ref_step(
+        tsdf.create(SMALL_CFG.tsdf), eye, f0.intensity, f0.depth,
+        f1.intensity, f1.depth, f1.color, rays)
+
+    raw_step = make_raw_slam_step(intr, SMALL_CFG, backend="xla")
+    vol_raw, T_raw, fit_raw, inten, depth_m = raw_step(
+        tsdf.create(SMALL_CFG.tsdf), eye, f0.intensity, f0.depth,
+        d1, c1, rays, 1.0 / camc.depth_scale, camc.depth_min,
+        camc.depth_trunc)
+
+    assert np.array_equal(np.asarray(T_ref), np.asarray(T_raw))
+    assert float(fit_ref) == float(fit_raw)
+    assert np.array_equal(np.asarray(vol_ref.weight), np.asarray(vol_raw.weight))
+    # the returned decoded frame must equal the eager decode (feeds the next step)
+    assert np.array_equal(np.asarray(inten), np.asarray(f1.intensity))
+    assert np.array_equal(np.asarray(depth_m), np.asarray(f1.depth))
