@@ -8,38 +8,72 @@ this extractor:
 
 1. detects changed blocks by per-block weight checksums (one cheap device
    rowsum per update — no volume-structure changes needed),
-2. re-extracts ONLY those blocks via ``extract_mesh_arrays(emit_mask=...)``
-   — untouched alive blocks still feed corner values, so emitted geometry is
-   bit-identical to a full extraction of the same blocks,
-3. keeps a host-side per-block triangle cache (keyed by block coords,
-   grouped via the per-triangle source-cell output) and reassembles the
-   full scene soup by concatenation.
+2. re-extracts ONLY those blocks through the COMPACT form of
+   ``extract_mesh_arrays`` (host-computed slot selection + neighbor map;
+   device cost scales with the touched-block count, not the scene size) —
+   untouched alive blocks still feed corner values via the selection, so
+   emitted VERTEX geometry is bit-identical to a full extraction of the
+   same blocks (colors ride the wire u8-quantized — the precision every
+   consumer, PLY writer and preview renderer alike, reduces to anyway),
+3. keeps a host-side per-block triangle soup (ONE contiguous array + a
+   block->span index) and patches it: alive slices of the previous soup
+   plus the re-extracted groups, one large concatenate per update.
 
-Per-update device work scales with the touched-block count (a frame touches
-~5-20% of a mid-size scene) instead of the whole volume.
+Remote-tunnel discipline (measured on the axon TPU link, docs/PERF.md):
+every host<->device interaction is a ~27 ms round trip and every distinct
+eager-slice shape is a fresh XLA compile (~400 ms through the tunnel), so
+the steady-state update makes exactly THREE device interactions, all
+fixed-shape: the (3, N) checksum pull (which carries n_blocks — no separate
+``int(vol.n_blocks)`` sync), the compact extraction dispatch, and ONE
+packed result pull whose meta row carries the triangle count and overflow
+flag (no ``int(n_tris)`` / ``bool(overflow)`` syncs). Block coords are
+pulled full-shape (N, 3) — never ``[:nb]``, whose shape changes as the pool
+grows — and only when the pool grew.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from azurekinect3dreconstruction_tpu.config import TSDFConfig
 from azurekinect3dreconstruction_tpu.core.types import TriangleMeshHost
 from azurekinect3dreconstruction_tpu.tsdf import marching_cubes as mc
+from azurekinect3dreconstruction_tpu.tsdf import mc_tables as mt
 from azurekinect3dreconstruction_tpu.tsdf.volume import TSDFVolume
 
-import jax
+_CORNERS = np.asarray(mt.CORNER_OFFSETS)  # (8, 3), code 0 = self
 
 
 @jax.jit
 def _checksums(vol: TSDFVolume):
-    """(change_checksum, monotonic_checksum) per block, one fused pass.
-    Stacked into ONE array so the host pulls both in a single transfer."""
-    return jnp.stack([jnp.sum(vol.weight + jnp.abs(vol.tsdf), axis=(1, 2)),
-                      jnp.sum(vol.weight, axis=(1, 2))])
+    """(3, N) int32: change checksum, monotonic checksum, n_blocks
+    (broadcast) — one fused pass, ONE device->host transfer for all three.
+
+    All three rows are EXACT integer quantities, immune to reduction order:
+    the fused batch step donates its volume argument, so the pool ping-pongs
+    between two buffers whose layouts can tile a float reduction differently
+    — an f32 ``sum(|tsdf|)`` checksum alternates by ulps between the two and
+    reads as "every block changed" on every other frame (measured). The
+    change row instead wrap-sums the raw f32 BITS (any bit change = change,
+    order-independent); the monotonic row sums the integer-valued weights
+    (w+1 clamped — exact in i32), which only a volume reset can decrease."""
+    n = vol.tsdf.shape[0]
+    bits = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    out = jnp.stack([
+        jnp.sum(bits(vol.tsdf) + bits(vol.weight), axis=(1, 2)),  # wraps: ok
+        jnp.sum(vol.weight.astype(jnp.int32), axis=(1, 2)),
+        jnp.full((n,), vol.n_blocks, jnp.int32),
+    ])
+    # the LAST pool row is the Pallas worklist's trash slot (volume.allocate
+    # inserts dropped keys at block_capacity-1): the kernel scribbles there
+    # every frame, and a decrease in its garbage weight would read as a
+    # volume reset (measured: a spurious full rebuild every other frame)
+    return out.at[:2, n - 1].set(0)
 
 
 def _pack_np(coords: np.ndarray) -> np.ndarray:
@@ -48,28 +82,51 @@ def _pack_np(coords: np.ndarray) -> np.ndarray:
     return c[..., 0] + (c[..., 1] << 21) + (c[..., 2] << 42)
 
 
-from functools import partial
-
-
 @partial(jax.jit, static_argnames=("ntb",))
-def _pack_pull(v, c, cells, ntb: int):
-    """Bundle stage-2 outputs into ONE (21, ntb) f32 array for a single
-    device->host transfer: rows 0-8 vertex xyz (vtx-major), 9-17 colors,
-    18-20 cell coords (exact in f32: |coord| <= 8192)."""
+def _pack_pull(v, c, cells, n_tris, overflow, ntb: int):
+    """Bundle stage-2 outputs into ONE (15, ntb) i32 array for a single
+    device->host transfer (the tunnel is bandwidth-bound at ~32 MB/s,
+    measured — 22 f32 rows cost ~90 ms, this layout ~60):
+
+    - rows 0-8: vertex xyz (vtx-major) — f32 BITS, bit-exact
+    - rows 9-11: per-vertex rgb, u8-quantized and packed r<<16|g<<8|b
+      (every consumer — the PLY writers, the preview renderer's u8
+      framebuffer — quantizes to u8 anyway)
+    - row 12: cell x | y<<16 (16-bit two's complement halves)
+    - row 13: cell z
+    - row 14: meta [n_tris, overflow, 0...] — the host learns the true
+      count and the overflow verdict from the SAME transfer it pulls the
+      geometry with."""
     T = v.shape[2]
-    return jnp.concatenate([
-        v.reshape(9, T)[:, :ntb],
-        c.reshape(9, T)[:, :ntb],
-        cells.astype(jnp.float32)[:, :ntb],
-    ], axis=0)
+    vi = jax.lax.bitcast_convert_type(v.reshape(9, T)[:, :ntb], jnp.int32)
+    # clip before quantizing: lanes beyond n_tris hold arbitrary kernel
+    # padding whose round/astype would be UB-ish garbage bleeding into <<
+    cq = jnp.round(jnp.clip(c[..., :ntb], 0.0, 1.0) * 255.0).astype(jnp.int32)
+    rgb = (cq[:, 0] << 16) | (cq[:, 1] << 8) | cq[:, 2]  # (3, ntb)
+    cl = cells[:, :ntb].astype(jnp.int32)
+    xy = (cl[0] & 0xFFFF) | (cl[1] << 16)
+    meta = jnp.zeros((ntb,), jnp.int32)
+    meta = meta.at[0].set(n_tris.astype(jnp.int32))
+    meta = meta.at[1].set(overflow.astype(jnp.int32))
+    return jnp.concatenate(
+        [vi, rgb, xy[None], cl[2][None], meta[None]], axis=0)
 
 
 def _slice_bucket(n: int, cap: int) -> int:
-    """Round a dynamic triangle count up to a coarse bucket so the
-    device-side pre-transfer slice compiles once per bucket, not once per
-    distinct count (a fresh count per update would mean a fresh XLA compile
-    per frame — measured as the dominant incremental-update cost)."""
+    """Round a triangle count up to a coarse bucket so the device-side
+    pre-transfer slice compiles once per bucket, not once per distinct
+    count (a fresh count per update would mean a fresh XLA compile per
+    frame — measured as the dominant incremental-update cost)."""
     b = 4096
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+def _sel_bucket(n: int, cap: int) -> int:
+    """Selection-row bucket for the compact extraction (same ladder as
+    mc.EXTRACT_SIZES so compile counts stay bounded)."""
+    b = 256
     while b < n:
         b *= 2
     return min(b, cap)
@@ -79,41 +136,85 @@ class IncrementalExtractor:
     def __init__(self, cfg: TSDFConfig, max_cells: int = 1 << 20,
                  max_tris: int = 1 << 18):
         self.cfg = cfg
-        self.max_cells = max_cells
+        self.max_cells = max_cells  # full-pass budgets
         self.max_tris = max_tris
-        self._cache: Dict[Tuple[int, int, int], Tuple[np.ndarray, np.ndarray]] = {}
+        # compact-pass budgets: sized for a touched NEIGHBORHOOD, grown (and
+        # persisted) on overflow like the full budgets
+        self.c_cells = 1 << 18
+        self.c_tris = 1 << 17
+        # per-block soup as ONE contiguous (M, 3, 3) pair + span index —
+        # reassembly is a single large concatenate of alive slices plus the
+        # re-extracted groups (a dict-of-arrays cache costs ~110 ms/update
+        # in thousands of small concats for a 740k-tri scene; this ~20 ms)
+        self._soup_v = np.zeros((0, 3, 3), np.float32)
+        self._soup_c = np.zeros((0, 3, 3), np.float32)
+        self._spans: Dict[Tuple[int, int, int], Tuple[int, int]] = {}
         self._prev_ws: Optional[np.ndarray] = None
         self._prev_mono: Optional[np.ndarray] = None
         self._prev_nb = 0
         self._assembled: Optional[TriangleMeshHost] = None
-        self._coords_host: Optional[np.ndarray] = None
+        self._coords_all: Optional[np.ndarray] = None  # full (N, 3) host copy
+        self._keys_nb = -1  # nb the sorted-key cache below was built for
+        self._ak_order: Optional[np.ndarray] = None
+        self._ak_sorted: Optional[np.ndarray] = None
+        self._last_nt = 0  # previous update's triangle count (pull bucket seed)
         self.last_touched = 0  # blocks re-extracted on the last update
+        self.last_mode = "none"  # "compact" | "full" | "none" (observability)
 
     def reset(self) -> None:
-        self._cache.clear()
+        self._soup_v = np.zeros((0, 3, 3), np.float32)
+        self._soup_c = np.zeros((0, 3, 3), np.float32)
+        self._spans = {}
         self._prev_ws = None
         self._prev_mono = None
         self._prev_nb = 0
         self._assembled = None
-        self._coords_host = None
+        self._coords_all = None
+        self._keys_nb = -1
+        self._last_nt = 0
+
+    def _host_coords(self, vol: TSDFVolume, nb: int) -> np.ndarray:
+        """Host copy of the alive block coords + sorted packed-key index.
+        The pool only ever appends, so the copy is reused until it grows;
+        the pull is the FULL fixed-shape (N, 3) array — a ``[:nb]`` slice
+        would compile a fresh executable per distinct nb (~400 ms each on
+        the tunnel, measured)."""
+        if self._coords_all is None or self._keys_nb != nb:
+            if (self._coords_all is None
+                    or len(self._coords_all) != vol.block_coords.shape[0]
+                    or nb > self._keys_nb):
+                self._coords_all = np.asarray(vol.block_coords)
+            keys = _pack_np(self._coords_all[:nb])
+            self._ak_order = np.argsort(keys)
+            self._ak_sorted = keys[self._ak_order]
+            self._keys_nb = nb
+        return self._coords_all[:nb]
+
+    def _find(self, want: np.ndarray, nb: int):
+        """Pool slots of packed keys ``want`` (-1 where absent), via the
+        cached sorted-key index."""
+        pos = np.minimum(np.searchsorted(self._ak_sorted, want), nb - 1)
+        hit = self._ak_sorted[pos] == want
+        return np.where(hit, self._ak_order[pos], -1)
 
     def update(self, vol: TSDFVolume) -> TriangleMeshHost:
         """Refresh the cache against the volume's current state and return
         the full scene as a triangle soup."""
         N = vol.tsdf.shape[0]
-        nb = int(vol.n_blocks)
         # change checksum: weight ALONE saturates at max_integration_weight
         # (a dwelled-on block would go blind to later scene changes), so fold
         # in the tsdf magnitudes, which keep moving while the surface does;
         # the plain weight sum is kept too — it is MONOTONIC, so any decrease
         # proves a volume reset even if the pool already regrew larger
-        cks = np.asarray(_checksums(vol))  # one (2, N) transfer
+        cks = np.asarray(_checksums(vol))  # one (3, N) transfer
         ws, mono = cks[0], cks[1]
+        nb = int(cks[2, 0])
         if nb < self._prev_nb or (
                 self._prev_mono is not None
                 and bool(np.any(mono < self._prev_mono))):
             self.reset()
-        if self._prev_ws is None:
+        first = self._prev_ws is None
+        if first:
             changed = np.zeros((N,), bool)
             changed[:nb] = True
         else:
@@ -123,89 +224,140 @@ class IncrementalExtractor:
         self._prev_mono = mono
         self._prev_nb = nb
         self.last_touched = int(changed.sum())
+        self.last_mode = "none"
 
-        if self.last_touched:
+        if self.last_touched and nb:
+            coords = self._host_coords(vol, nb)
             # a changed block's own surface can shift cells in the -1
             # neighbor blocks' boundary layer too: dilate the emit set by
-            # the 7 negative-corner neighbors (cells sample corners at +1).
-            # All vectorized: packed-key sorted search, no Python-set loops.
-            # Block coords only ever append, so the host copy is reused
-            # until the pool grows (saves one ~30 ms tunnel pull per update).
-            if self._coords_host is None or len(self._coords_host) != nb:
-                self._coords_host = np.asarray(vol.block_coords[:nb])
-            coords = self._coords_host
-            all_keys = _pack_np(coords)
-            ak_order = np.argsort(all_keys)
-            ak_sorted = all_keys[ak_order]
-            chg = coords[changed[:nb]]  # (nc, 3)
-            offs = np.stack(np.meshgrid([0, -1], [0, -1], [0, -1],
-                                        indexing="ij"), -1).reshape(8, 3)
-            want = _pack_np(chg[:, None, :] + offs[None]).reshape(-1)
-            pos = np.searchsorted(ak_sorted, want)
-            pos_c = np.minimum(pos, nb - 1)
-            hit = ak_sorted[pos_c] == want
-            emit_mask = np.zeros((N,), bool)
-            emit_mask[ak_order[pos_c[hit]]] = True
-            self.last_touched = int(emit_mask.sum())
+            # the 7 negative-corner neighbors (cells sample corners at +1)
+            chg = coords[changed[:nb]]
+            nslot = self._find(
+                _pack_np(chg[:, None, :] - _CORNERS[None]).reshape(-1), nb)
+            emit_idx = np.unique(nslot[nslot >= 0])
+            self.last_touched = len(emit_idx)
 
-            E = mc.snap_extract_blocks(nb, N)
+            # compact when the touched neighborhood is a minority of the
+            # scene: past that the full prefix scan is cheaper (and the
+            # first build has no cache to patch anyway)
+            sel_cap = mc.snap_extract_blocks(nb, N)
+            use_compact = not first
+            if use_compact:
+                # selection = emitted blocks + their alive positive-corner
+                # neighbors (corner-value suppliers), as pool slots
+                nsl = self._find(
+                    _pack_np(coords[emit_idx][:, None, :]
+                             + _CORNERS[None]).reshape(-1), nb)
+                sel_slots = np.unique(nsl[nsl >= 0])
+                ns = len(sel_slots)
+                use_compact = 2 * ns < nb
+            if use_compact:
+                Es = _sel_bucket(ns, sel_cap)
+                pool2c = np.full(nb, -1, np.int32)
+                pool2c[sel_slots] = np.arange(ns, dtype=np.int32)
+                nsl2 = self._find(
+                    _pack_np(coords[sel_slots][:, None, :]
+                             + _CORNERS[None]).reshape(-1), nb)
+                nbr_c = np.where(nsl2 >= 0, pool2c[np.maximum(nsl2, 0)],
+                                 -1).reshape(ns, 8).astype(np.int32)
+                sel = np.full(Es, -1, np.int32)
+                sel[:ns] = sel_slots
+                nbr_pad = np.full((Es, 8), -1, np.int32)
+                nbr_pad[:ns] = nbr_c
+                emit_c = np.zeros(Es, bool)
+                emit_c[:ns] = np.isin(sel_slots, emit_idx, assume_unique=True)
+                kw = dict(sel=jnp.asarray(sel), nbr_sel=jnp.asarray(nbr_pad),
+                          emit_mask=jnp.asarray(emit_c))
+                budgets = ("c_cells", "c_tris")
+            else:
+                emit_mask = np.zeros((N,), bool)
+                emit_mask[emit_idx] = True
+                kw = dict(extract_blocks=sel_cap,
+                          emit_mask=None if first else jnp.asarray(emit_mask))
+                budgets = ("max_cells", "max_tris")
+            self.last_mode = "compact" if use_compact else "full"
+
             while True:
+                cc, ct = getattr(self, budgets[0]), getattr(self, budgets[1])
                 v, c_, n_tris, ovf, cells = mc.extract_mesh_arrays(
-                    vol, self.cfg, max_cells=self.max_cells,
-                    max_tris=self.max_tris, extract_blocks=E,
-                    emit_mask=jnp.asarray(emit_mask), return_cells=True)
-                if not bool(ovf):
-                    break
-                # persist grown budgets: this object lives across updates,
-                # so the next refresh starts at the working size
-                self.max_cells *= 4
-                self.max_tris *= 4
-            nt = int(n_tris)
-            # ONE device->host pull: verts + colors + cells pack into a
-            # single (21, ntb) array sliced ON DEVICE to a BUCKETED length —
-            # the transfer scales with the emitted triangle count, the
-            # bucket keeps the slice's compiled-shape count finite, and a
-            # single pull pays one tunnel round trip instead of three
-            ntb = _slice_bucket(nt, self.max_tris)
-            packed = np.asarray(_pack_pull(v, c_, cells, ntb))
-            verts = (packed[:9].reshape(3, 3, ntb)
-                     .transpose(2, 0, 1)[:nt].astype(np.float32))
-            vcols = (packed[9:18].reshape(3, 3, ntb)
-                     .transpose(2, 0, 1)[:nt].astype(np.float32))
-            blk = (packed[18:].T[:nt].astype(np.int64)
+                    vol, self.cfg, max_cells=cc, max_tris=ct,
+                    return_cells=True, **kw)
+                # ONE pull: geometry + meta (count, overflow). The bucket is
+                # seeded from the previous update's count — smooth scanning
+                # keeps it stable — and corrected from the meta row when it
+                # guessed low (one extra pull, rare).
+                ntb = _slice_bucket(max(self._last_nt, 4096), ct)
+                packed = np.asarray(_pack_pull(v, c_, cells, n_tris, ovf, ntb))
+                nt = int(packed[14, 0])
+                if packed[14, 1]:  # overflow: grow persistently and redo
+                    setattr(self, budgets[0], cc * 4)
+                    setattr(self, budgets[1], ct * 4)
+                    continue
+                if nt > ntb:
+                    ntb = _slice_bucket(nt, ct)
+                    packed = np.asarray(
+                        _pack_pull(v, c_, cells, n_tris, ovf, ntb))
+                break
+            self._last_nt = nt
+            verts = (np.ascontiguousarray(packed[:9]).view(np.float32)
+                     .reshape(3, 3, ntb).transpose(2, 0, 1)[:nt])
+            rgb = packed[9:12]
+            vcols = (np.stack([(rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255],
+                              axis=1).transpose(2, 0, 1)[:nt]
+                     .astype(np.float32) / 255.0)
+            xy, cz = packed[12], packed[13]
+            cx = ((xy & 0xFFFF) ^ 0x8000) - 0x8000  # sign-extend low half
+            blk = (np.stack([cx, xy >> 16, cz], axis=1)[:nt].astype(np.int64)
                    // self.cfg.block_resolution)
 
-            # replace every emitted block's cache entry (emitted blocks with
-            # zero triangles now must drop their stale entry), and prune
-            # entries whose block is no longer alive at all
-            emitted = {tuple(c) for c in coords[emit_mask[:nb]]}
-            for k in emitted:
-                self._cache.pop(k, None)
-            alive_keys = set(map(tuple, coords))
-            for k in [k for k in self._cache if k not in alive_keys]:
-                self._cache.pop(k)
+            # group the pull by source block, then patch the soup: every
+            # emitted block's old span is dropped (emitted blocks with zero
+            # triangles now must vanish), spans of dead blocks are pruned,
+            # and the new groups land at the tail
+            groups = []
             if nt:
                 order = np.lexsort(blk.T)
                 blk_s = blk[order]
                 bounds = np.nonzero(np.any(blk_s[1:] != blk_s[:-1], 1))[0] + 1
                 starts = np.concatenate([[0], bounds, [nt]])
                 for a, b in zip(starts[:-1], starts[1:]):
-                    key = tuple(blk_s[a])
-                    self._cache[key] = (verts[order[a:b]], vcols[order[a:b]])
+                    groups.append((tuple(blk_s[a]),
+                                   verts[order[a:b]], vcols[order[a:b]]))
+            emitted = {tuple(c) for c in coords[emit_idx]}
+            alive_keys = set(map(tuple, coords))
+            keep = sorted(((k, s) for k, s in self._spans.items()
+                           if k not in emitted and k in alive_keys),
+                          key=lambda kv: kv[1][0])
+            runs = []  # merged contiguous alive slices of the old soup
+            spans: Dict[Tuple[int, int, int], Tuple[int, int]] = {}
+            cur = 0
+            for k, (a, n) in keep:
+                if runs and runs[-1][1] == a:
+                    runs[-1][1] = a + n
+                else:
+                    runs.append([a, a + n])
+                spans[k] = (cur, n)
+                cur += n
+            parts_v = [self._soup_v[a:b] for a, b in runs]
+            parts_c = [self._soup_c[a:b] for a, b in runs]
+            for k, gv, gc in groups:
+                spans[k] = (cur, len(gv))
+                cur += len(gv)
+                parts_v.append(gv)
+                parts_c.append(gc)
+            z = np.zeros((0, 3, 3), np.float32)
+            self._soup_v = np.concatenate(parts_v) if parts_v else z
+            self._soup_c = np.concatenate(parts_c) if parts_c else z
+            self._spans = spans
+            n = self._soup_v.shape[0]
+            self._assembled = TriangleMeshHost(
+                vertices=self._soup_v.reshape(-1, 3),
+                triangles=np.arange(3 * n, dtype=np.int32).reshape(-1, 3),
+                vertex_colors=self._soup_c.reshape(-1, 3))
 
-        if self.last_touched == 0 and self._assembled is not None:
-            return self._assembled  # nothing changed: reuse the assembly
-        if not self._cache:
+        if self._assembled is None:
             self._assembled = TriangleMeshHost(
                 vertices=np.zeros((0, 3), np.float32),
                 triangles=np.zeros((0, 3), np.int32),
                 vertex_colors=np.zeros((0, 3), np.float32))
-            return self._assembled
-        av = np.concatenate([e[0] for e in self._cache.values()])
-        ac = np.concatenate([e[1] for e in self._cache.values()])
-        n = av.shape[0]
-        self._assembled = TriangleMeshHost(
-            vertices=av.reshape(-1, 3),
-            triangles=np.arange(3 * n, dtype=np.int32).reshape(-1, 3),
-            vertex_colors=ac.reshape(-1, 3))
         return self._assembled

@@ -130,7 +130,8 @@ def _corner_views(fields, R: int):
 @partial(jax.jit, static_argnames=("cfg", "max_cells", "max_tris", "extract_blocks"))
 def _extract_stage1(vol: TSDFVolume, cfg: TSDFConfig,
                     max_cells: int, max_tris: int,
-                    extract_blocks: int = None, emit_mask=None):
+                    extract_blocks: int = None, emit_mask=None,
+                    sel=None, nbr_sel=None):
     """Stages A-D_map + payload build; returns (payload (Mc, 64), c_t,
     total_tris, n_bricks). Split from stage 2 at a jit boundary ON PURPOSE:
     the (max_tris, 64) row gather of stage 2 runs 2x faster when its operand
@@ -138,34 +139,54 @@ def _extract_stage1(vol: TSDFVolume, cfg: TSDFConfig,
     the gather (measured 19 ms vs 43 ms at 1M rows) — the pipeline is ~20%
     faster split than fused, pad copy included.
 
-    ``emit_mask`` (optional (N,) bool): only cells of masked blocks EMIT
+    ``emit_mask`` (optional bool): only cells of masked blocks EMIT
     triangles; unmasked alive blocks still contribute corner values, so
     boundary cells of emitted blocks triangulate exactly as in a full
-    extraction (the incremental-extraction contract)."""
+    extraction (the incremental-extraction contract). Shape (N,) in the
+    prefix form, (Es,) in the compact form below.
+
+    ``sel``/``nbr_sel`` (optional, COMPACT form — tsdf.incremental): instead
+    of scanning the alive prefix, process only the (Es,) pool slots in
+    ``sel`` (-1 = padding). ``nbr_sel`` (Es, 8) gives each selected row's
+    (0/1)^3-corner neighbors as COMPACT row indices (-1 = absent), computed
+    on host from its coords copy — no device hash lookups, and stage cost
+    scales with the touched-block count instead of the scene size. The
+    caller must select every alive positive neighbor of each emitted block
+    (they supply corner values); rows only read through ``nbr_sel``, so
+    non-emitted rows may have absent neighbors."""
     R = cfg.block_resolution
     N = vol.tsdf.shape[0]
-    E = min(extract_blocks or N, N)
     C3 = R * R * R
+    if sel is not None:
+        E = sel.shape[0]
+        alive = sel >= 0
+        slot = jnp.where(alive, sel, 0)
+        t2 = vol.tsdf[slot].reshape(E, C3)
+        w2 = vol.weight[slot].reshape(E, C3)
+        coords = vol.block_coords[slot]
+        cE = vol.color[slot]
+        nbr = jnp.where(alive[:, None], nbr_sel, -1)
+    else:
+        E = min(extract_blocks or N, N)
+        t2 = vol.tsdf[:E].reshape(E, C3)
+        w2 = vol.weight[:E].reshape(E, C3)
+        coords = vol.block_coords[:E]
+        cE = vol.color[:E]
+        alive = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0)[:, 0] < vol.n_blocks
+        nbr = _neighbor_slots(vol.table, coords)
+        # neighbors beyond the extract prefix are treated as absent (they can
+        # only exist if E < n_blocks, which the caller prevents)
+        nbr = jnp.where(nbr < E, nbr, -1)
     B3 = min(64, C3)  # cells per group (contiguous in flat z-minor layout)
     nb3 = C3 // B3  # groups per block
     max_bricks = max(max_cells // B3, 1)
     Mc = max_bricks * B3  # worklist cells (group-dense)
-
-    t2 = vol.tsdf[:E].reshape(E, C3)
-    w2 = vol.weight[:E].reshape(E, C3)
-    coords = vol.block_coords[:E]
-    alive = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0)[:, 0] < vol.n_blocks
-    nbr = _neighbor_slots(vol.table, coords)
-    # neighbors beyond the extract prefix are treated as absent (they can
-    # only exist if E < n_blocks, which the caller prevents)
-    nbr = jnp.where(nbr < E, nbr, -1)
 
     # ---- stage A: dense corner fields (elementwise + whole-row gathers) ----
     inside0 = (t2 < 0.0) & (w2 > 0.0) & alive[:, None]
     valid0 = (w2 > 0.0) & alive[:, None]
     # pack RGB into one f32 plane (exact for 24-bit ints): corner colors then
     # ride the same shift machinery as values, one array per corner not three
-    cE = vol.color[:E]
     pcol0 = (jnp.round(cE[:, 0] * 255.0) * 65536.0
              + jnp.round(cE[:, 1] * 255.0) * 256.0
              + jnp.round(cE[:, 2] * 255.0)).reshape(E, C3)
@@ -413,7 +434,7 @@ def _extract_stage2(pt, total_tris, overflow1, cfg: TSDFConfig,
 def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
                         max_cells: int = 65536, max_tris: int = 131072,
                         extract_blocks: int = None, emit_mask=None,
-                        return_cells: bool = False):
+                        return_cells: bool = False, sel=None, nbr_sel=None):
     """Device-side extraction. Returns (vertices (3, 3, max_tris), colors,
     num_tris, overflow_flag). ``extract_blocks`` bounds the alive prefix
     processed (blocks are allocated densely, so slots >= n_blocks are dead).
@@ -426,7 +447,8 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
     ``return_cells``: see _extract_stage1 / _extract_stage2 (used by
     tsdf.incremental)."""
     payload, c_t, total_tris, overflow1 = _extract_stage1(
-        vol, cfg, max_cells, max_tris, extract_blocks, emit_mask=emit_mask)
+        vol, cfg, max_cells, max_tris, extract_blocks, emit_mask=emit_mask,
+        sel=sel, nbr_sel=nbr_sel)
     pt = _extract_gather(payload, c_t)
     return _extract_stage2(pt, total_tris, overflow1, cfg=cfg,
                            max_tris=max_tris, return_cells=return_cells)

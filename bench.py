@@ -275,7 +275,7 @@ def main():
 
     cdep, ccol, cpos = render_all([closeup_pose(i) for i in range(5)])
     inc = IncrementalExtractor(cfg, max_cells=mcells, max_tris=mtris)
-    inc.update(vol)  # cold full pass builds the per-block cache
+    inc.update(vol)  # cold full pass builds the per-block cache (compiles)
     inc_times, inc_touched = [], []
     for i in range(5):
         vol = batch(vol, cdep[i: i + 1], ccol[i: i + 1], cpos[i: i + 1], rays)
@@ -285,6 +285,14 @@ def main():
         inc_times.append(time.perf_counter() - t0)
         inc_touched.append(inc.last_touched)
     extract_inc_ms = float(np.median(inc_times) * 1000.0)
+    # honest comparator: what a HOST-side surface refresh costs without the
+    # incremental path — full re-extraction + the whole soup pulled through
+    # the tunnel (extract_ms above is device-dispatch only). Same warmed
+    # compiles; one measured repetition (it is ~1 s, slope-timing overkill).
+    inc2 = IncrementalExtractor(cfg, max_cells=mcells, max_tris=mtris)
+    t0 = time.perf_counter()
+    inc2.update(vol)
+    extract_full_refresh_ms = (time.perf_counter() - t0) * 1000.0
 
     _mark("done")
     print(json.dumps({
@@ -305,6 +313,7 @@ def main():
         "pipeline_frame_ms": round(pipeline_dt * 1000.0, 2),
         "extract_ms": round(extract_ms, 2),
         "extract_incremental_ms": round(extract_inc_ms, 2),
+        "extract_full_refresh_ms": round(extract_full_refresh_ms, 2),
         "incremental_touched_blocks": int(np.median(inc_touched)),
         "min_sharded_fitness": round(float(jnp.min(sfits)), 3),
         "mesh_triangles": int(n_tris),

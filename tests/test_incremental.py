@@ -45,13 +45,30 @@ def test_incremental_matches_full_extraction(synthetic_camera):
         assert si == sf, f"frame {i}: {len(si ^ sf)} differing triangles"
         total = int(vol.n_blocks)
 
-    # later updates touch only part of the scene
+    # later updates touch only part of the scene — and must route through
+    # the COMPACT extraction (host-computed selection + neighbor map) while
+    # still assembling the bit-identical full scene
     z, c = synthetic_camera.render(np.asarray(poses[-1], np.float32))
-    vol = tsdf.integrate_frame(vol, jnp.asarray(z), jnp.asarray(c), rays,
+    zc = np.zeros_like(np.asarray(z))  # small central crop -> few blocks
+    h, w = zc.shape
+    zc[h // 2 - 20: h // 2 + 20, w // 2 - 20: w // 2 + 20] = \
+        np.asarray(z)[h // 2 - 20: h // 2 + 20, w // 2 - 20: w // 2 + 20]
+    vol = tsdf.integrate_frame(vol, jnp.asarray(zc), jnp.asarray(c), rays,
                                jnp.asarray(poses[-1], jnp.float32), intr, CFG,
                                backend="xla")
-    inc.update(vol)
+    mesh_inc = inc.update(vol)
     assert 0 < inc.last_touched < total, (inc.last_touched, total)
+    assert inc.last_mode == "compact", inc.last_mode
+    full = mc.extract_mesh(vol, CFG, max_cells=262144, max_tris=131072)
+    nt_full = int(full.num_triangles)
+    assert mesh_inc.triangles.shape[0] == nt_full
+    si = {tuple(x) for x in
+          np.round(mesh_inc.vertices.reshape(-1, 3, 3).mean(1), 5).tolist()}
+    assert si == _tri_set(full.vertices, nt_full)
+
+    # an update that changes NOTHING must do no extraction at all
+    prev = inc._assembled
+    assert inc.update(vol) is prev and inc.last_mode == "none"
 
 
 def test_incremental_handles_reset(synthetic_camera):
