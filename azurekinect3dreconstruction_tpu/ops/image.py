@@ -32,27 +32,61 @@ def rgb_to_intensity(rgb):
     return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
 
 
+# 5-tap binomial (1 4 6 4 1)/16 as a 2D conv weight, built once. Conv form:
+# a strided conv is ONE native op on the TPU conv unit, where the older
+# shifted-slice + [::2, ::2] chain compiled to many pad/concat/strided-slice
+# kernels (the measured 6+ ms of per-frame odometry "glue").
+# NUMPY constants on purpose: a module-level jnp array would initialize the
+# JAX backend at import time, before scripts' --cpu override can run.
+import numpy as _np
+
+_BINOMIAL5 = _np.outer([1.0, 4.0, 6.0, 4.0, 1.0],
+                       [1.0, 4.0, 6.0, 4.0, 1.0]) / 256.0
+_K_BLUR = _BINOMIAL5.reshape(5, 5, 1, 1).astype(_np.float32)
+# Sobel/8 x- and y-gradients as a single 2-output-channel 3x3 conv
+_SOBEL_X = _np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]) / 8.0
+_SOBEL_Y = _SOBEL_X.T
+_K_SOBEL = _np.stack([_SOBEL_X, _SOBEL_Y],
+                     axis=-1).reshape(3, 3, 1, 2).astype(_np.float32)
+
+_DIMS = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                       ("NHWC", "HWIO", "NHWC"))
+
+
+def _conv2d(img, kernel, stride: int = 1):
+    """Edge-clamped 2D conv of a (H, W) image; kernel (kh, kw, 1, C)."""
+    kh = kernel.shape[0]
+    p = kh // 2
+    x = jnp.pad(img, ((p, p), (p, p)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        x[None, :, :, None], kernel, (stride, stride), "VALID",
+        dimension_numbers=_DIMS)
+    return out[0]
+
+
 def _gauss_blur(img):
-    """Separable 5-tap binomial blur (1 4 6 4 1)/16, edge-clamped."""
-    k = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
-    pad = [(2, 2)] + [(0, 0)] * (img.ndim - 1)
-    x = jnp.pad(img, pad, mode="edge")
-    x = sum(k[i] * x[i : i + img.shape[0]] for i in range(5))
-    pad = [(0, 0), (2, 2)] + [(0, 0)] * (img.ndim - 2)
-    x = jnp.pad(x, pad, mode="edge")
-    x = sum(k[i] * x[:, i : i + img.shape[1]] for i in range(5))
-    return x
+    """5-tap binomial blur (1 4 6 4 1)/16 in both axes, edge-clamped."""
+    if img.ndim != 2:  # color stacks: blur channels independently
+        return jnp.stack([_gauss_blur(img[..., c])
+                          for c in range(img.shape[-1])], axis=-1)
+    return _conv2d(jnp.asarray(img), _K_BLUR)[..., 0]
 
 
 def downsample2(img):
-    """Blur + 2x decimation (intensity images)."""
-    return _gauss_blur(img)[::2, ::2]
+    """Blur + 2x decimation (intensity images) — one strided conv."""
+    return _conv2d(jnp.asarray(img), _K_BLUR, stride=2)[..., 0]
 
 
 def downsample2_depth(depth):
     """Depth-aware 2x decimation: plain subsampling (no blending across
     depth discontinuities — blurring depth invents phantom surfaces)."""
-    return jnp.asarray(depth)[::2, ::2]
+    d = jnp.asarray(depth)
+    h, w = d.shape
+    if h % 2 or w % 2:  # odd extents: keep the strided form (trace-time branch)
+        return d[::2, ::2]
+    # even extents (every sensor mode): reshape + unit-stride slice instead of
+    # a 2-strided gather — the reshape is a free layout change on TPU
+    return d.reshape(h // 2, 2, w // 2, 2)[:, 0, :, 0]
 
 
 def build_pyramid(intensity, depth, levels: int) -> List[Tuple[jax.Array, jax.Array]]:
@@ -71,17 +105,8 @@ def sobel_gradients(img):
     Edge pixels are zero (gradient undefined there); invalid regions are the
     caller's concern via masks.
     """
-    img = jnp.asarray(img)
-    p = jnp.pad(img, ((1, 1), (1, 1)), mode="edge")
-    gx = (
-        (p[0:-2, 2:] + 2.0 * p[1:-1, 2:] + p[2:, 2:])
-        - (p[0:-2, 0:-2] + 2.0 * p[1:-1, 0:-2] + p[2:, 0:-2])
-    ) / 8.0
-    gy = (
-        (p[2:, 0:-2] + 2.0 * p[2:, 1:-1] + p[2:, 2:])
-        - (p[0:-2, 0:-2] + 2.0 * p[0:-2, 1:-1] + p[0:-2, 2:])
-    ) / 8.0
-    return gx, gy
+    g = _conv2d(jnp.asarray(img), _K_SOBEL)
+    return g[..., 0], g[..., 1]
 
 
 def depth_gradient_colors(depth, near=0.5, far=3.0, mode: str = "turbo"):

@@ -526,10 +526,6 @@ def compute_odometry_tpu(intensity_s, depth_s, intensity_t, depth_t,
         i_s, d_s = pyr_s[lvl]
         i_t, d_t = pyr_t[lvl]
 
-        def padto(a, rows=hp, top=0):
-            return jnp.pad(a, ((top, rows - top - a.shape[0]),
-                               (0, wp - a.shape[1])))
-
         gx, gy = sobel_gradients(i_s)
         gdx, gdy = sobel_gradients(d_s)
         dv = d_s > 0
@@ -537,10 +533,13 @@ def compute_odometry_tpu(intensity_s, depth_s, intensity_t, depth_t,
                & jnp.roll(dv, 1, 1) & jnp.roll(dv, -1, 1))
         gdx = jnp.where(okg, gdx, 0.0)
         gdy = jnp.where(okg, gdy, 0.0)
-        src_planes = jnp.stack([padto(i_s), padto(d_s), padto(gx), padto(gy),
-                                padto(gdx), padto(gdy)])
-        tgt_planes = jnp.stack([padto(i_t, PT + hp + TV, top=PT),
-                                padto(d_t, PT + hp + TV, top=PT)])
+        # stack THEN pad: one fused copy each, instead of 8 separate
+        # pad kernels feeding a concat (measured XLA glue cost, r3)
+        h, w = i_s.shape
+        src_planes = jnp.pad(jnp.stack([i_s, d_s, gx, gy, gdx, gdy]),
+                             ((0, 0), (0, hp - h), (0, wp - w)))
+        tgt_planes = jnp.pad(jnp.stack([i_t, d_t]),
+                             ((0, 0), (PT, hp + TV - h), (0, wp - w)))
 
         lvl_fn = _level_fn(intr, cfg, lvl, cfg.pyramid_iters[lvl], interpret)
         T, fitness, rmse, n_valid = lvl_fn(T, tgt_planes, src_planes,

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--mode", choices=["choose", "latest", "mesh"], default="latest")
     ap.add_argument("--dir", default="results")
     ap.add_argument("--list-only", action="store_true")
+    ap.add_argument("--html", default=None, metavar="OUT.html",
+                    help="export the result to a self-contained interactive "
+                         "WebGL viewer instead of opening a window "
+                         "(viz/html_export.py; works headless)")
     args = ap.parse_args()
 
     if args.mode == "choose":
@@ -49,6 +53,25 @@ def main():
             log_warning("no mesh results")
             return
         log_info(f"newest mesh: {path}")
+    if args.html:
+        from azurekinect3dreconstruction_tpu.core.types import (
+            PointCloudHost,
+            TriangleMeshHost,
+        )
+        from azurekinect3dreconstruction_tpu.viz.html_export import (
+            save_html_viewer,
+        )
+        from azurekinect3dreconstruction_tpu.viz.savers import read_ply
+
+        verts, cols, faces = read_ply(path)
+        geom = (TriangleMeshHost(vertices=verts, triangles=faces,
+                                 vertex_colors=cols)
+                if faces is not None and len(faces)
+                else PointCloudHost(points=verts, colors=cols))
+        out = save_html_viewer(args.html, geom,
+                               title=os.path.basename(path))
+        log_info(f"HTML viewer written: {out}")
+        return
     if not args.list_only:
         view_geometry(path)
 

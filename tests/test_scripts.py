@@ -76,6 +76,18 @@ def test_view_results_lists_latest(results_dir):
     assert "newest result" in r.stdout + r.stderr
 
 
+def test_view_results_html_export(results_dir, tmp_path):
+    """--html writes the self-contained WebGL viewer for the newest mesh
+    (first-party replacement for the reference's Open3D window viewers)."""
+    out = str(tmp_path / "viewer.html")
+    r = run_script("view_results.py", "--mode", "mesh",
+                   "--dir", results_dir, "--html", out)
+    assert "HTML viewer written" in r.stdout + r.stderr
+    html = open(out).read()
+    assert "webgl" in html and 'pos: "' in html
+    assert os.path.getsize(out) > 10_000  # geometry actually embedded
+
+
 def test_depth_to_cloud_and_cloud_to_mesh(cloud_ply, tmp_path):
     """PLY -> mesh conversion via the first-party SDF mesher (reference
     PointCloudToMesh.py without the Open3D dependency)."""
