@@ -60,7 +60,11 @@ def _conv2d(img, kernel, stride: int = 1):
     x = jnp.pad(img, ((p, p), (p, p)), mode="edge")
     out = jax.lax.conv_general_dilated(
         x[None, :, :, None], kernel, (stride, stride), "VALID",
-        dimension_numbers=_DIMS)
+        dimension_numbers=_DIMS,
+        # full-f32 accumulation: DEFAULT would run the MXU at bf16 inputs on
+        # TPU, injecting ~1e-2 m error into depth gradients that feed the
+        # GN odometry jacobians (the slice form this replaced was exact f32)
+        precision=jax.lax.Precision.HIGHEST)
     return out[0]
 
 

@@ -286,6 +286,9 @@ def make_sharded_slam_batch(mesh: Mesh, intr: Intrinsics, pcfg,
     frame all_gather over cam vs the dense psum update). The XLA pair keeps
     the same step compiling on the CPU dryrun mesh.
     """
+    from azurekinect3dreconstruction_tpu.pipelines.mono_odometry_tsdf import (
+        apply_odometry_gate,
+    )
     from azurekinect3dreconstruction_tpu.tracking.odometry import compute_odometry
 
     n_blk = mesh.shape["blk"]
@@ -314,12 +317,8 @@ def make_sharded_slam_batch(mesh: Mesh, intr: Intrinsics, pcfg,
                 local, T_prev, prev_int, prev_depth = carry
                 inten, d, c = fr
                 res = odo(prev_int, prev_depth, inten, d)
-                ok = (res.fitness > min_fitness) & jnp.all(
-                    jnp.isfinite(res.T_target_source))
-                T_rel = jnp.where(ok, se3.inverse(res.T_target_source),
-                                  jnp.eye(4, dtype=jnp.float32))
-                T = jnp.matmul(T_prev, T_rel,
-                               precision=jax.lax.Precision.HIGHEST)
+                # same gate (and -1-fitness failure marker) as the flat steps
+                T, fit = apply_odometry_gate(T_prev, res, min_fitness)
                 local2 = _alloc_shard(local, d, T, rays, cfg, n_blk,
                                       stride, samples, dedup_budget)
                 if pallas:
@@ -330,7 +329,7 @@ def make_sharded_slam_batch(mesh: Mesh, intr: Intrinsics, pcfg,
                                                    intr, cfg, worklist_size)
                 else:
                     local2 = _integrate_psum(local2, d, c, T, intr, cfg)
-                return (local2, T, inten, d), (T, res.fitness)
+                return (local2, T, inten, d), (T, fit)
 
             init = (local, jnp.asarray(T0c, jnp.float32), intens[0], depth[0])
             (local, _, _, _), (poses, fits) = jax.lax.scan(

@@ -81,7 +81,10 @@ class CloudAccumulator:
                                       8192, self.cfg.registration.ransac_hypotheses))
         vox = 0.015
         ds, dm, _, _ = voxel_downsample_arrays(src, s_mask, vox, 8192)
-        tgt = self.prev_maps.points.reshape(-1, 3)
+        # 1/16-density pixel subsample before the grid: identical 1.5 cm
+        # coverage (organized depth is far denser than the voxel grid), 16x
+        # less downsample input
+        tgt = self.prev_maps.points[::4, ::4].reshape(-1, 3)
         dt, dtm, _, _ = voxel_downsample_arrays(tgt, tgt[:, 2] > 0, vox, 8192)
         n_s = estimate_normals_knn(ds, dm, radius=2 * vox, k=12,
                                    orient_to=np.zeros(3))
@@ -132,8 +135,10 @@ class CloudAccumulator:
                 # where un-seeded projective ICP falls into the wrong
                 # minimum with visibly lower overlap — take the seeded one.
                 with self.telemetry.time_block("coarse"):
-                    allf = pts.reshape(-1, 3)
-                    seed = self._coarse_seed(allf, allf[:, 2] > 0)
+                    # the 1/16 subsample the fine ICP already uses is far
+                    # denser than the 1.5 cm seed grid — full-res input only
+                    # inflates the voxel-downsample cost 16x
+                    seed = self._coarse_seed(flat, mask)
                 if seed is not None:
                     import dataclasses
 

@@ -71,6 +71,7 @@ class MonoOdometryTSDF:
         self.frame_index = 0
         self._model = None  # (points, mask) device cache for frame-to-model
         self._step = None  # lazily-built fused (odometry+fusion) step
+        self._track = None  # lazily-built odometry-only step (frame_to_model)
 
     # -- lazy host views (each read syncs the device once) --------------------
 
@@ -93,7 +94,9 @@ class MonoOdometryTSDF:
 
     @property
     def odometry_failures(self) -> int:
-        """Frames whose odometry fell below the fitness gate (syncs)."""
+        """Frames where tracking fell back to identity motion (syncs). The
+        device gate reports fitness -1 for ANY rejection — low fitness or a
+        non-finite transform — so both failure modes are counted."""
         if not self._fits_dev:
             return 0
         f = np.asarray(jnp.stack(self._fits_dev))
@@ -126,6 +129,36 @@ class MonoOdometryTSDF:
                 interpret=use_pallas and not on_tpu)
         return self._step
 
+    def _get_track_step(self):
+        """Odometry-only step for frame_to_model mode, where fusion must wait
+        for the model-ICP refinement (same backend selection as the fused
+        step, same gate semantics)."""
+        if self._track is None:
+            on_tpu = jax.default_backend() == "tpu"
+            use_pallas = self.backend == "pallas" or (
+                self.backend == "auto" and on_tpu)
+            ocfg = self.cfg.odometry
+            min_fitness = self.MIN_FITNESS
+
+            if use_pallas:
+                from azurekinect3dreconstruction_tpu.ops.pallas.odometry_kernels import (
+                    compute_odometry_tpu,
+                )
+
+                interp = not on_tpu
+                odo = lambda pi, pd, i, d: compute_odometry_tpu(
+                    pi, pd, i, d, self.intr, ocfg, interpret=interp)
+            else:
+                odo = lambda pi, pd, i, d: compute_odometry(
+                    pi, pd, i, d, self.intr, ocfg)
+
+            def track(T_prev, prev_int, prev_depth, intensity, depth):
+                res = odo(prev_int, prev_depth, intensity, depth)
+                return apply_odometry_gate(T_prev, res, min_fitness)
+
+            self._track = jax.jit(track)
+        return self._track
+
     def process_frame(self, depth_raw, color_raw):
         """Track + fuse one frame; returns the (device-resident) camera-to-
         world pose used. The return and all tracked state stay on device —
@@ -148,6 +181,27 @@ class MonoOdometryTSDF:
                     backend=self.backend,
                 )
             self._prev_int, self._prev_depth = frame.intensity, frame.depth
+        elif self.tracking == "frame_to_model":
+            # track -> refine -> integrate: the model-ICP correction must
+            # land BEFORE the frame fuses (the reference registers against
+            # the model and only then adds the cloud,
+            # InitialReconstruction-CUDA-2cam:625-674); the frame was already
+            # decoded eagerly above, so fusion reuses it — no second decode
+            track = self._get_track_step()
+            with self.telemetry.time_block("step"):
+                self._T_dev, fit = track(self._T_dev, self._prev_int,
+                                         self._prev_depth, frame.intensity,
+                                         frame.depth)
+            self._fits_dev.append(fit)
+            if self._model is not None:
+                with self.telemetry.time_block("model_icp"):
+                    self._refine_against_model(frame)
+            with self.telemetry.time_block("integrate"):
+                self.volume = tsdf.integrate_frame(
+                    self.volume, frame.depth, frame.color, self.rays,
+                    self._T_dev, self.intr, self.cfg.tsdf,
+                    backend=self.backend)
+            self._prev_int, self._prev_depth = frame.intensity, frame.depth
         else:
             # one dispatch: raw decode + odometry + fitness gate (jnp.where,
             # device-side identity fallback — reference :258-260) + allocate
@@ -162,9 +216,6 @@ class MonoOdometryTSDF:
                     # traced scalars: live '=/-/[/]' retuning, no recompile
                     1.0 / cam.depth_scale, cam.depth_min, cam.depth_trunc)
             self._fits_dev.append(fit)
-            if self.tracking == "frame_to_model" and self._model is not None:
-                with self.telemetry.time_block("model_icp"):
-                    self._refine_against_model(frame)
 
         self.prev = frame
         self._traj_dev.append(self._T_dev)
@@ -250,26 +301,38 @@ class MonoOdometryTSDF:
 # ---------------------------------------------------------------------------
 
 
+def apply_odometry_gate(T_prev, res, min_fitness: float):
+    """The device-side tracking gate shared by every SLAM step: accept the
+    odometry when fitness clears the bar AND the transform is finite,
+    otherwise fall back to identity motion (reference
+    1camera-detectsSceneChanges.py:258-260). Returns (T_world_cam, fitness)
+    where fitness is reported as -1 when the gate rejected — so failure
+    counters see BOTH low-fitness and non-finite-transform fallbacks (a
+    finite-fitness/NaN-T frame is still a tracking failure)."""
+    from azurekinect3dreconstruction_tpu.core import se3
+
+    ok = (res.fitness > min_fitness) & jnp.all(
+        jnp.isfinite(res.T_target_source))
+    T_rel = jnp.where(ok, se3.inverse(res.T_target_source),
+                      jnp.eye(4, dtype=jnp.float32))
+    T = jnp.matmul(jnp.asarray(T_prev, jnp.float32), T_rel,
+                   precision=jax.lax.Precision.HIGHEST)
+    return T, jnp.where(ok, res.fitness, jnp.float32(-1.0))
+
+
 def _xla_step_fn(intr: Intrinsics, cfg: PipelineConfig,
                  stride: int = 2, min_fitness: float = 0.3):
     """Unjitted XLA tracking+fusion body (see :func:`make_xla_slam_step`)."""
-    from azurekinect3dreconstruction_tpu.core import se3
-
     ocfg = cfg.odometry
     tcfg = cfg.tsdf
 
     def step(vol, T_prev, prev_int, prev_depth, intensity, depth, color, rays):
         res = compute_odometry(prev_int, prev_depth, intensity, depth, intr,
                                ocfg)
-        ok = (res.fitness > min_fitness) & jnp.all(
-            jnp.isfinite(res.T_target_source))
-        T_rel = jnp.where(ok, se3.inverse(res.T_target_source),
-                          jnp.eye(4, dtype=jnp.float32))
-        T = jnp.matmul(jnp.asarray(T_prev, jnp.float32), T_rel,
-                       precision=jax.lax.Precision.HIGHEST)
+        T, fit = apply_odometry_gate(T_prev, res, min_fitness)
         vol = tsdf.allocate(vol, depth, rays, T, tcfg, stride=stride)
         vol = tsdf.integrate(vol, depth, color, T, intr, tcfg)
-        return vol, T, res.fitness
+        return vol, T, fit
 
     return step
 
@@ -292,21 +355,16 @@ def _device_step_fn(intr: Intrinsics, cfg: PipelineConfig,
     from azurekinect3dreconstruction_tpu.ops.pallas.odometry_kernels import (
         compute_odometry_tpu,
     )
-    from azurekinect3dreconstruction_tpu.core import se3
 
     ocfg = cfg.odometry
 
     def step(vol, T_prev, prev_int, prev_depth, intensity, depth, color, rays):
         res = compute_odometry_tpu(prev_int, prev_depth, intensity, depth, intr,
                                    ocfg, interpret=interpret)
-        ok = (res.fitness > min_fitness) & jnp.all(jnp.isfinite(res.T_target_source))
-        T_rel = jnp.where(ok, se3.inverse(res.T_target_source),
-                          jnp.eye(4, dtype=jnp.float32))
-        T = jnp.matmul(jnp.asarray(T_prev, jnp.float32), T_rel,
-                       precision=jax.lax.Precision.HIGHEST)
+        T, fit = apply_odometry_gate(T_prev, res, min_fitness)
         vol = integrate_step(vol, depth, color, T, rays, intr, cfg.tsdf,
                              worklist_size, stride, interpret)
-        return vol, T, res.fitness
+        return vol, T, fit
 
     return step
 
@@ -404,7 +462,6 @@ def make_device_slam_batch(intr: Intrinsics, cfg: PipelineConfig,
     from azurekinect3dreconstruction_tpu.ops.pallas.odometry_kernels import (
         compute_odometry_tpu,
     )
-    from azurekinect3dreconstruction_tpu.core import se3
 
     ocfg = cfg.odometry
 
@@ -414,14 +471,10 @@ def make_device_slam_batch(intr: Intrinsics, cfg: PipelineConfig,
             inten, depth, color = fr
             res = compute_odometry_tpu(prev_int, prev_depth, inten, depth, intr,
                                        ocfg, interpret=interpret)
-            ok = (res.fitness > min_fitness) & jnp.all(
-                jnp.isfinite(res.T_target_source))
-            T_rel = jnp.where(ok, se3.inverse(res.T_target_source),
-                              jnp.eye(4, dtype=jnp.float32))
-            T = jnp.matmul(T_prev, T_rel, precision=jax.lax.Precision.HIGHEST)
+            T, fit = apply_odometry_gate(T_prev, res, min_fitness)
             vol = integrate_step(vol, depth, color, T, rays, intr, cfg.tsdf,
                                  worklist_size, stride, interpret)
-            return (vol, T, inten, depth), (T, res.fitness)
+            return (vol, T, inten, depth), (T, fit)
 
         init = (vol, jnp.asarray(T0, jnp.float32), intensities[0], depths[0])
         (vol, T_last, _, _), (poses, fits) = jax.lax.scan(

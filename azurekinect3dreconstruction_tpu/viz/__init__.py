@@ -8,6 +8,8 @@ from azurekinect3dreconstruction_tpu.viz.html_export import save_html_viewer
 from azurekinect3dreconstruction_tpu.viz.o3d_bridge import LiveViewer, view_geometry
 from azurekinect3dreconstruction_tpu.viz.savers import (
     ResultSaver,
+    read_geometry,
+    read_obj,
     read_ply,
     write_obj_mesh,
     write_ply_mesh,

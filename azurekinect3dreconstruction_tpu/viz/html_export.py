@@ -67,6 +67,13 @@ const idx = decode(B64.idx, Uint32Array);
 const canvas = document.getElementById("c");
 const gl = canvas.getContext("webgl");
 if (!gl) document.getElementById("hud").textContent = "WebGL unavailable";
+if (!pos || META.n_vertices === 0) {
+  // empty reconstruction: report it instead of dying on pos.length, and
+  // keep the __frames liveness hook ticking for CI drivers
+  document.getElementById("hud").textContent = META.title + "\\n(empty geometry)";
+  setInterval(() => { window.__frames = (window.__frames || 0) + 1; }, 100);
+  throw new Error("empty geometry");
+}
 const extIdx = gl && gl.getExtension("OES_element_index_uint");
 
 const VS = `
@@ -83,7 +90,9 @@ precision mediump float;
 varying vec3 vCol; varying vec3 vNrm;
 uniform float uShaded; uniform float uNormalViz;
 void main() {
-  vec3 n = normalize(vNrm);
+  // zero-filled normals (clouds without normals) must not normalize():
+  // NaN would poison the mix() chain even at weight 0 under IEEE rules
+  vec3 n = dot(vNrm, vNrm) > 0.0 ? normalize(vNrm) : vec3(0.0, 0.0, 1.0);
   float lam = 0.35 + 0.65 * abs(n.z);           // headlight Lambert
   vec3 shaded = mix(vCol, vCol * lam, uShaded);
   vec3 nviz = 0.5 * n + 0.5;

@@ -201,6 +201,43 @@ def read_ply(path: str):
     return verts, cols, faces
 
 
+def read_obj(path: str):
+    """Minimal OBJ reader (v [r g b] / f lines, the write_obj_mesh format;
+    faces with v/vt/vn syntax are accepted, extra face vertices are fanned).
+    Returns (vertices, colors_or_None, faces_or_None) like :func:`read_ply`.
+    """
+    verts, cols, faces = [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+                if len(parts) >= 7:
+                    cols.append([float(x) for x in parts[4:7]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                for k in range(1, len(idx) - 1):  # fan-triangulate
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    v = np.asarray(verts, np.float32)
+    c = np.asarray(cols, np.float32) if len(cols) == len(verts) and cols else None
+    t = np.asarray(faces, np.int32) if faces else None
+    return v, c, t
+
+
+def read_geometry(path: str):
+    """Extension-dispatched mesh/cloud load: .ply via read_ply, .obj via
+    read_obj. Raises ValueError for anything else (instead of garbage-
+    parsing)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".ply":
+        return read_ply(path)
+    if ext == ".obj":
+        return read_obj(path)
+    raise ValueError(f"unsupported geometry format: {path!r} (ply/obj only)")
+
+
 class ResultSaver:
     """Timestamped + ``latest_*`` dual-save convention over an output dir."""
 

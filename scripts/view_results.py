@@ -61,9 +61,9 @@ def main():
         from azurekinect3dreconstruction_tpu.viz.html_export import (
             save_html_viewer,
         )
-        from azurekinect3dreconstruction_tpu.viz.savers import read_ply
+        from azurekinect3dreconstruction_tpu.viz.savers import read_geometry
 
-        verts, cols, faces = read_ply(path)
+        verts, cols, faces = read_geometry(path)
         geom = (TriangleMeshHost(vertices=verts, triangles=faces,
                                  vertex_colors=cols)
                 if faces is not None and len(faces)

@@ -82,6 +82,24 @@ def test_mesh_decimation_keeps_whole_triangles(tmp_path, rng):
     assert pos.size == meta["n_vertices"] * 3
 
 
+def test_read_obj_round_trip(tmp_path, quad_mesh):
+    """read_obj/read_geometry load what write_obj_mesh wrote — the --html
+    path must handle .obj results (DualCameraFusion saves meshes as OBJ)."""
+    from azurekinect3dreconstruction_tpu.viz.savers import (
+        read_geometry,
+        write_obj_mesh,
+    )
+
+    p = str(tmp_path / "m.obj")
+    write_obj_mesh(p, quad_mesh)
+    v, c, f = read_geometry(p)
+    np.testing.assert_allclose(v, quad_mesh.vertices, atol=1e-6)
+    np.testing.assert_allclose(c, quad_mesh.vertex_colors, atol=1e-6)
+    np.testing.assert_array_equal(f, quad_mesh.triangles)
+    with pytest.raises(ValueError):
+        read_geometry(str(tmp_path / "m.stl"))
+
+
 def test_cloud_decimation(tmp_path, rng):
     pts = rng.rand(1000, 3).astype(np.float32)
     out = save_html_viewer(str(tmp_path / "s.html"),

@@ -247,6 +247,84 @@ def test_mono_frame_to_model_tracking(cam):
     assert err_m < 0.02, err_m
 
 
+def test_frame_to_model_integrates_refined_pose(cam, monkeypatch):
+    """frame_to_model ordering contract: the model-ICP refinement must land
+    BEFORE the frame fuses (reference registers against the model and only
+    then adds the cloud, InitialReconstruction-CUDA-2cam:625-674). Regression
+    for the fused-step era, where the frame was integrated at the un-refined
+    odometry pose and refinement only corrected the pose going forward."""
+    import jax.numpy as jnp
+
+    from azurekinect3dreconstruction_tpu.pipelines import mono_odometry_tsdf as m
+
+    pipe = m.MonoOdometryTSDF(cam.intrinsics, SMALL_CFG, backend="xla",
+                              tracking="frame_to_model")
+    DELTA = np.eye(4)
+    DELTA[0, 3] = 0.123  # recognizable refinement correction
+
+    def fake_refine(frame):
+        pipe.T_world_cam = pipe.T_world_cam @ DELTA
+
+    integrated_poses = []
+    real_integrate = m.tsdf.integrate_frame
+
+    def spy_integrate(vol, depth, color, rays, T, *a, **kw):
+        integrated_poses.append(np.asarray(T, np.float64))
+        return real_integrate(vol, depth, color, rays, T, *a, **kw)
+
+    monkeypatch.setattr(pipe, "_refine_against_model", fake_refine)
+    monkeypatch.setattr(m.tsdf, "integrate_frame", spy_integrate)
+    pipe._model = (jnp.zeros((3, 3), jnp.float32),
+                   jnp.zeros((3,), bool))  # arm the refinement path
+
+    poses = orbit_trajectory(3, radius=0.2, angle_span=0.2)
+    for T in poses:
+        d, c = cam.capture(T)
+        pipe.process_frame(d, c)
+
+    # frames 1..2 must fuse at the refined pose (x-shift present); the
+    # trajectory entry for frame i is appended right after integration
+    assert len(integrated_poses) == 3
+    for i in (1, 2):
+        T_used, T_pipe = integrated_poses[i], pipe.trajectory[i + 1]
+        np.testing.assert_allclose(T_used, T_pipe, atol=1e-6)
+        assert abs(T_used[0, 3]) > 0.1, "refinement missing from fused pose"
+
+
+def test_odometry_gate_failure_marker():
+    """apply_odometry_gate: identity fallback + fitness -1 for BOTH failure
+    modes (low fitness, non-finite transform with healthy fitness) so
+    odometry_failures counts them all; healthy results pass through."""
+    import jax.numpy as jnp
+
+    from azurekinect3dreconstruction_tpu.pipelines.mono_odometry_tsdf import (
+        apply_odometry_gate,
+    )
+    from azurekinect3dreconstruction_tpu.tracking.odometry import OdometryResult
+
+    T_prev = jnp.eye(4, dtype=jnp.float32)
+    good_T = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(0.1)
+
+    def res(T, fit):
+        return OdometryResult(T_target_source=T, fitness=jnp.float32(fit),
+                              rmse=jnp.float32(0.0), inliers=jnp.int32(1000))
+
+    T, fit = apply_odometry_gate(T_prev, res(good_T, 0.9), 0.3)
+    assert float(fit) == pytest.approx(0.9)
+    assert abs(float(T[0, 3]) + 0.1) < 1e-6  # inverse of the +0.1 shift
+
+    # healthy fitness but NaN transform -> identity motion, fitness -1
+    bad_T = good_T.at[1, 1].set(jnp.nan)
+    T, fit = apply_odometry_gate(T_prev, res(bad_T, 0.9), 0.3)
+    assert float(fit) == -1.0
+    np.testing.assert_array_equal(np.asarray(T), np.eye(4))
+
+    # low fitness -> same marker
+    T, fit = apply_odometry_gate(T_prev, res(good_T, 0.1), 0.3)
+    assert float(fit) == -1.0
+    np.testing.assert_array_equal(np.asarray(T), np.eye(4))
+
+
 def test_raw_slam_step_matches_eager_decode(cam):
     """The fused raw-frame step (u16/u8 decode INSIDE the jitted dispatch)
     must be bit-compatible with decoding via RGBDFrame.from_raw and running
