@@ -32,53 +32,32 @@ def rgb_to_intensity(rgb):
     return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
 
 
-# 5-tap binomial (1 4 6 4 1)/16 as a 2D conv weight, built once. Conv form:
-# a strided conv is ONE native op on the TPU conv unit, where the older
-# shifted-slice + [::2, ::2] chain compiled to many pad/concat/strided-slice
-# kernels (the measured 6+ ms of per-frame odometry "glue").
-# NUMPY constants on purpose: a module-level jnp array would initialize the
-# JAX backend at import time, before scripts' --cpu override can run.
-import numpy as _np
-
-_BINOMIAL5 = _np.outer([1.0, 4.0, 6.0, 4.0, 1.0],
-                       [1.0, 4.0, 6.0, 4.0, 1.0]) / 256.0
-_K_BLUR = _BINOMIAL5.reshape(5, 5, 1, 1).astype(_np.float32)
-# Sobel/8 x- and y-gradients as a single 2-output-channel 3x3 conv
-_SOBEL_X = _np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]) / 8.0
-_SOBEL_Y = _SOBEL_X.T
-_K_SOBEL = _np.stack([_SOBEL_X, _SOBEL_Y],
-                     axis=-1).reshape(3, 3, 1, 2).astype(_np.float32)
-
-_DIMS = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
-                                       ("NHWC", "HWIO", "NHWC"))
-
-
-def _conv2d(img, kernel, stride: int = 1):
-    """Edge-clamped 2D conv of a (H, W) image; kernel (kh, kw, 1, C)."""
-    kh = kernel.shape[0]
-    p = kh // 2
-    x = jnp.pad(img, ((p, p), (p, p)), mode="edge")
-    out = jax.lax.conv_general_dilated(
-        x[None, :, :, None], kernel, (stride, stride), "VALID",
-        dimension_numbers=_DIMS,
-        # full-f32 accumulation: DEFAULT would run the MXU at bf16 inputs on
-        # TPU, injecting ~1e-2 m error into depth gradients that feed the
-        # GN odometry jacobians (the slice form this replaced was exact f32)
-        precision=jax.lax.Precision.HIGHEST)
-    return out[0]
+# Pyramid/gradient glue is SHIFT-ADD f32 on the VPU, not conv_general_dilated.
+# Measured on TPU v5e (round 3, _probe_odo A/B, full Pallas odometry frame):
+# 1-channel 3x3/5x5 convs look fast in isolation (~0.1 ms for the whole
+# per-frame set at Precision.HIGHEST) but as producers of the Pallas level
+# kernel's inputs they force layout changes / fusion breaks that take the
+# frame from 13.4 ms to 35 ms. The shifted-slice form is exact f32, fuses
+# into the pad+stack that feeds the kernel, and keeps the MXU out of what is
+# a bandwidth-bound stencil.
 
 
 def _gauss_blur(img):
-    """5-tap binomial blur (1 4 6 4 1)/16 in both axes, edge-clamped."""
+    """Separable 5-tap binomial blur (1 4 6 4 1)/16, edge-clamped."""
     if img.ndim != 2:  # color stacks: blur channels independently
         return jnp.stack([_gauss_blur(img[..., c])
                           for c in range(img.shape[-1])], axis=-1)
-    return _conv2d(jnp.asarray(img), _K_BLUR)[..., 0]
+    x = jnp.pad(img, ((2, 2), (0, 0)), mode="edge")
+    x = ((x[:-4] + x[4:]) + 4.0 * (x[1:-3] + x[3:-1]) + 6.0 * x[2:-2]) / 16.0
+    x = jnp.pad(x, ((0, 0), (2, 2)), mode="edge")
+    x = ((x[:, :-4] + x[:, 4:]) + 4.0 * (x[:, 1:-3] + x[:, 3:-1])
+         + 6.0 * x[:, 2:-2]) / 16.0
+    return x
 
 
 def downsample2(img):
-    """Blur + 2x decimation (intensity images) — one strided conv."""
-    return _conv2d(jnp.asarray(img), _K_BLUR, stride=2)[..., 0]
+    """Blur + 2x decimation (intensity images)."""
+    return _gauss_blur(img)[::2, ::2]
 
 
 def downsample2_depth(depth):
@@ -109,8 +88,13 @@ def sobel_gradients(img):
     Edge pixels are zero (gradient undefined there); invalid regions are the
     caller's concern via masks.
     """
-    g = _conv2d(jnp.asarray(img), _K_SOBEL)
-    return g[..., 0], g[..., 1]
+    p = jnp.pad(jnp.asarray(img), ((1, 1), (1, 1)), mode="edge")
+    # separable: smooth (1 2 1) along one axis, central-difference the other
+    sv = p[:-2] + 2.0 * p[1:-1] + p[2:]           # (H, W+2) row-smoothed
+    gx = (sv[:, 2:] - sv[:, :-2]) / 8.0
+    su = p[:, :-2] + 2.0 * p[:, 1:-1] + p[:, 2:]  # (H+2, W) col-smoothed
+    gy = (su[2:] - su[:-2]) / 8.0
+    return gx, gy
 
 
 def depth_gradient_colors(depth, near=0.5, far=3.0, mode: str = "turbo"):

@@ -23,16 +23,16 @@ Remote-tunnel discipline (measured on the axon TPU link, docs/PERF.md):
 every host<->device interaction is a ~27 ms round trip and every distinct
 eager-slice shape is a fresh XLA compile (~400 ms through the tunnel), so
 the steady-state update makes exactly THREE device interactions, all
-fixed-shape: the (3, N) checksum pull (which carries n_blocks — no separate
-``int(vol.n_blocks)`` sync), the compact extraction dispatch, and ONE
-packed result pull whose meta row carries the triangle count and overflow
-flag (no ``int(n_tris)`` / ``bool(overflow)`` syncs). Block coords are
-pulled full-shape (N, 3) — never ``[:nb]``, whose shape changes as the pool
-grows — and only when the pool grew.
+fixed-shape: the (6, N) checksum pull (which carries n_blocks AND the block
+coords in-band — no separate ``int(vol.n_blocks)`` or ``block_coords``
+syncs), the compact extraction dispatch, and ONE packed result pull whose
+meta row carries the triangle count and overflow flag (no ``int(n_tris)`` /
+``bool(overflow)`` syncs).
 """
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -51,8 +51,12 @@ _CORNERS = np.asarray(mt.CORNER_OFFSETS)  # (8, 3), code 0 = self
 
 @jax.jit
 def _checksums(vol: TSDFVolume):
-    """(3, N) int32: change checksum, monotonic checksum, n_blocks
-    (broadcast) — one fused pass, ONE device->host transfer for all three.
+    """(6, N) int32: change checksum, monotonic checksum, n_blocks
+    (broadcast), then the block coords transposed (x/y/z rows) — one fused
+    pass, ONE device->host transfer for all of it. Folding the coords in
+    costs ~200 KB extra on every pull, but during a live scan the pool grows
+    almost every frame, and a separate ``vol.block_coords`` pull is a full
+    extra tunnel round trip (~40 ms measured) each time it does.
 
     All three rows are EXACT integer quantities, immune to reduction order:
     the fused batch step donates its volume argument, so the pool ping-pongs
@@ -64,11 +68,11 @@ def _checksums(vol: TSDFVolume):
     (w+1 clamped — exact in i32), which only a volume reset can decrease."""
     n = vol.tsdf.shape[0]
     bits = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
-    out = jnp.stack([
+    out = jnp.concatenate([jnp.stack([
         jnp.sum(bits(vol.tsdf) + bits(vol.weight), axis=(1, 2)),  # wraps: ok
         jnp.sum(vol.weight.astype(jnp.int32), axis=(1, 2)),
         jnp.full((n,), vol.n_blocks, jnp.int32),
-    ])
+    ]), vol.block_coords.T.astype(jnp.int32)])
     # the LAST pool row is the Pallas worklist's trash slot (volume.allocate
     # inserts dropped keys at block_capacity-1): the kernel scribbles there
     # every frame, and a decrease in its garbage weight would read as a
@@ -153,13 +157,15 @@ class IncrementalExtractor:
         self._prev_mono: Optional[np.ndarray] = None
         self._prev_nb = 0
         self._assembled: Optional[TriangleMeshHost] = None
-        self._coords_all: Optional[np.ndarray] = None  # full (N, 3) host copy
         self._keys_nb = -1  # nb the sorted-key cache below was built for
         self._ak_order: Optional[np.ndarray] = None
         self._ak_sorted: Optional[np.ndarray] = None
         self._last_nt = 0  # previous update's triangle count (pull bucket seed)
         self.last_touched = 0  # blocks re-extracted on the last update
         self.last_mode = "none"  # "compact" | "full" | "none" (observability)
+        # per-stage wall times of the last update (seconds): checksum pull,
+        # host selection build, extract dispatch, geometry pull, soup patch
+        self.timings: Dict[str, float] = {}
 
     def reset(self) -> None:
         self._soup_v = np.zeros((0, 3, 3), np.float32)
@@ -169,26 +175,20 @@ class IncrementalExtractor:
         self._prev_mono = None
         self._prev_nb = 0
         self._assembled = None
-        self._coords_all = None
         self._keys_nb = -1
         self._last_nt = 0
 
-    def _host_coords(self, vol: TSDFVolume, nb: int) -> np.ndarray:
-        """Host copy of the alive block coords + sorted packed-key index.
-        The pool only ever appends, so the copy is reused until it grows;
-        the pull is the FULL fixed-shape (N, 3) array — a ``[:nb]`` slice
-        would compile a fresh executable per distinct nb (~400 ms each on
-        the tunnel, measured)."""
-        if self._coords_all is None or self._keys_nb != nb:
-            if (self._coords_all is None
-                    or len(self._coords_all) != vol.block_coords.shape[0]
-                    or nb > self._keys_nb):
-                self._coords_all = np.asarray(vol.block_coords)
-            keys = _pack_np(self._coords_all[:nb])
+    def _host_coords(self, coords_all: np.ndarray, nb: int) -> np.ndarray:
+        """Sorted packed-key index over the alive block coords. The coords
+        themselves ride the checksum transfer (no separate device pull —
+        that cost a full extra tunnel round trip per pool growth, ~40 ms
+        measured); the key index is rebuilt only when the pool grew."""
+        if self._keys_nb != nb:
+            keys = _pack_np(coords_all[:nb])
             self._ak_order = np.argsort(keys)
             self._ak_sorted = keys[self._ak_order]
             self._keys_nb = nb
-        return self._coords_all[:nb]
+        return coords_all[:nb]
 
     def _find(self, want: np.ndarray, nb: int):
         """Pool slots of packed keys ``want`` (-1 where absent), via the
@@ -201,12 +201,15 @@ class IncrementalExtractor:
         """Refresh the cache against the volume's current state and return
         the full scene as a triangle soup."""
         N = vol.tsdf.shape[0]
+        tms = self.timings = {}
+        t0 = time.perf_counter()
         # change checksum: weight ALONE saturates at max_integration_weight
         # (a dwelled-on block would go blind to later scene changes), so fold
         # in the tsdf magnitudes, which keep moving while the surface does;
         # the plain weight sum is kept too — it is MONOTONIC, so any decrease
         # proves a volume reset even if the pool already regrew larger
-        cks = np.asarray(_checksums(vol))  # one (3, N) transfer
+        cks = np.asarray(_checksums(vol))  # one (6, N) transfer
+        tms["checksum"] = time.perf_counter() - t0
         ws, mono = cks[0], cks[1]
         nb = int(cks[2, 0])
         if nb < self._prev_nb or (
@@ -227,7 +230,8 @@ class IncrementalExtractor:
         self.last_mode = "none"
 
         if self.last_touched and nb:
-            coords = self._host_coords(vol, nb)
+            t0 = time.perf_counter()
+            coords = self._host_coords(np.ascontiguousarray(cks[3:6].T), nb)
             # a changed block's own surface can shift cells in the -1
             # neighbor blocks' boundary layer too: dilate the emit set by
             # the 7 negative-corner neighbors (cells sample corners at +1)
@@ -276,7 +280,9 @@ class IncrementalExtractor:
                           emit_mask=None if first else jnp.asarray(emit_mask))
                 budgets = ("max_cells", "max_tris")
             self.last_mode = "compact" if use_compact else "full"
+            tms["select"] = time.perf_counter() - t0
 
+            t0 = time.perf_counter()
             while True:
                 cc, ct = getattr(self, budgets[0]), getattr(self, budgets[1])
                 v, c_, n_tris, ovf, cells = mc.extract_mesh_arrays(
@@ -298,6 +304,8 @@ class IncrementalExtractor:
                     packed = np.asarray(
                         _pack_pull(v, c_, cells, n_tris, ovf, ntb))
                 break
+            tms["extract_pull"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
             self._last_nt = nt
             verts = (np.ascontiguousarray(packed[:9]).view(np.float32)
                      .reshape(3, 3, ntb).transpose(2, 0, 1)[:nt])
@@ -354,6 +362,7 @@ class IncrementalExtractor:
                 vertices=self._soup_v.reshape(-1, 3),
                 triangles=np.arange(3 * n, dtype=np.int32).reshape(-1, 3),
                 vertex_colors=self._soup_c.reshape(-1, 3))
+            tms["patch"] = time.perf_counter() - t0
 
         if self._assembled is None:
             self._assembled = TriangleMeshHost(
