@@ -42,6 +42,10 @@ def add_common_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--output", default="results", help="output directory")
     ap.add_argument("--headless", action="store_true",
                     help="never open a window")
+    ap.add_argument("--serve", type=int, nargs="?", const=0, default=None,
+                    metavar="PORT",
+                    help="serve a live browser viewer on PORT (0 = ephemeral)"
+                         " instead of an Open3D window; works headless")
     ap.add_argument("--backend", default="auto", choices=["auto", "pallas", "xla"],
                     help="TSDF integrate backend (auto = pallas on TPU)")
     ap.add_argument("--cpu", action="store_true",
@@ -97,6 +101,15 @@ def make_source(args) -> Tuple[Iterator[Tuple[np.ndarray, np.ndarray]], Intrinsi
 def make_viewer(args, name: str):
     from azurekinect3dreconstruction_tpu.viz.o3d_bridge import LiveViewer, is_available
 
+    if getattr(args, "serve", None) is not None:
+        # live browser viewer: geometry + the reconstruction key map over
+        # HTTP — the display-free live window (reference CreateMesh.py
+        # run loop, but headless-capable)
+        from azurekinect3dreconstruction_tpu.viz.live_server import (
+            BrowserLiveViewer,
+        )
+
+        return BrowserLiveViewer(port=args.serve, window_name=name)
     if args.headless or not is_available():
         class _Null:
             headless = True

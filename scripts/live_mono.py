@@ -96,6 +96,8 @@ def main():
             else:
                 pts, cols = pipe.extract_point_cloud(max_points=200000)
                 viewer.update_cloud("surface", PointCloudHost(points=pts, colors=cols))
+            if hasattr(viewer, "set_status"):  # browser HUD telemetry line
+                viewer.set_status(f"frame {i} | {pipe.telemetry.fps:.1f} fps")
         if not viewer.tick():
             break
     save()

@@ -70,6 +70,16 @@ def test_live_mono_saves_reconstruction(results_dir):
         assert any(kind in n for n in names), (kind, names)
 
 
+def test_live_mono_serve_mode(tmp_path):
+    """--serve runs the live loop against the browser viewer (HTTP server in
+    place of the Open3D window; endpoint behavior is unit-tested in
+    test_live_server.py — this proves the CLI wiring end to end)."""
+    r = run_script("live_mono.py", "--source", "synthetic", "--scale", "0.25",
+                   "--cpu", "--serve", "0", "--frames", "3",
+                   "--voxel", "0.02", "--output", str(tmp_path))
+    assert "live viewer serving at http://" in r.stdout + r.stderr
+
+
 def test_view_results_lists_latest(results_dir):
     r = run_script("view_results.py", "--mode", "latest",
                    "--dir", results_dir, "--list-only")
