@@ -175,6 +175,7 @@ class LiveViewerServer:
         self.max_vertices = max_vertices
         self._lock = threading.Lock()
         self._snaps: Dict[str, Tuple[int, bytes, int, int]] = {}
+        self._geoms: Dict[str, Union[TriangleMeshHost, PointCloudHost]] = {}
         self._rev = 0
         self._status = ""
         self._keys: Dict[str, str] = {}  # key -> description (for the HUD)
@@ -218,6 +219,32 @@ class LiveViewerServer:
                     if snap is None:
                         return self._send(404, "text/plain", b"no such object")
                     return self._send(200, "application/octet-stream", snap[1])
+                if u.path == "/snapshot.ply":
+                    # download the current geometry as a binary PLY — the
+                    # reference repo carried an abandoned web-API intent
+                    # (empty FastAPI/fastapi placeholder, flask/dash deps in
+                    # its pyproject.toml:22-24); this realizes it
+                    name = parse_qs(u.query).get("name", [""])[0]
+                    with server._lock:
+                        geom = server._geoms.get(name)
+                    if geom is None:
+                        return self._send(404, "text/plain", b"no such object")
+                    import tempfile
+
+                    from azurekinect3dreconstruction_tpu.viz.savers import (
+                        write_ply_mesh,
+                        write_ply_point_cloud,
+                    )
+
+                    with tempfile.TemporaryDirectory() as td:
+                        p = td + "/snap.ply"
+                        if isinstance(geom, TriangleMeshHost):
+                            write_ply_mesh(p, geom)
+                        else:
+                            write_ply_point_cloud(p, geom)
+                        with open(p, "rb") as f:
+                            body = f.read()
+                    return self._send(200, "application/octet-stream", body)
                 if u.path == "/key":
                     c = parse_qs(u.query).get("c", [""])[0]
                     if c:
@@ -241,10 +268,12 @@ class LiveViewerServer:
         nv, ni = struct.unpack_from("<2I", blob, 16)
         with self._lock:
             self._snaps[name] = (rev, blob, nv, ni)
+            self._geoms[name] = geometry  # /snapshot.ply source
 
     def remove(self, name: str) -> None:
         with self._lock:
             self._snaps.pop(name, None)
+            self._geoms.pop(name, None)
             self._rev += 1
 
     def set_status(self, text: str) -> None:

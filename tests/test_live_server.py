@@ -127,6 +127,14 @@ def test_server_endpoints_and_revisions(quad_mesh):
 
         status, _ = _get(srv.url + "geometry.bin?name=nope")
         assert status == 404
+
+        # /snapshot.ply: download the current geometry as binary PLY (the
+        # reference's abandoned web-API intent — empty FastAPI placeholder)
+        status, ply = _get(srv.url + "snapshot.ply?name=surface")
+        assert status == 200 and ply.startswith(b"ply")
+        assert b"element vertex 4" in ply and b"element face 2" in ply
+        status, _ = _get(srv.url + "snapshot.ply?name=nope")
+        assert status == 404
     finally:
         srv.close()
 
