@@ -87,33 +87,71 @@ def _pack_np(coords: np.ndarray) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("ntb",))
-def _pack_pull(v, c, cells, n_tris, overflow, ntb: int):
-    """Bundle stage-2 outputs into ONE (15, ntb) i32 array for a single
-    device->host transfer (the tunnel is bandwidth-bound at ~32 MB/s,
-    measured — 22 f32 rows cost ~90 ms, this layout ~60):
+def _pack_pull(c, cells, fracs, edges, n_tris, overflow, ntb: int):
+    """Bundle stage-2 outputs into ONE (9, ntb) i32 array for a single
+    device->host transfer (the tunnel is bandwidth-bound — every row is
+    ~4 bytes/triangle on the wire). Vertices travel as their EDGE ENCODING
+    (edge id + interpolation frac per vertex) instead of 9 xyz f32 rows —
+    40% fewer bytes, and the host reconstruction in :func:`_unpack_verts`
+    replays stage 2's exact f32 expression, so positions stay BIT-exact:
 
-    - rows 0-8: vertex xyz (vtx-major) — f32 BITS, bit-exact
-    - rows 9-11: per-vertex rgb, u8-quantized and packed r<<16|g<<8|b
+    - rows 0-2: per-vertex edge frac — f32 BITS
+    - row 3: cell x | y<<16 (16-bit two's complement halves)
+    - row 4: (cell z & 0xFFFF) | packed edge ids << 16 (3 x 4 bits)
+    - rows 5-7: per-vertex rgb, u8-quantized and packed r<<16|g<<8|b
       (every consumer — the PLY writers, the preview renderer's u8
       framebuffer — quantizes to u8 anyway)
-    - row 12: cell x | y<<16 (16-bit two's complement halves)
-    - row 13: cell z
-    - row 14: meta [n_tris, overflow, 0...] — the host learns the true
+    - row 8: meta [n_tris, overflow, 0...] — the host learns the true
       count and the overflow verdict from the SAME transfer it pulls the
       geometry with."""
-    T = v.shape[2]
-    vi = jax.lax.bitcast_convert_type(v.reshape(9, T)[:, :ntb], jnp.int32)
+    fi = jax.lax.bitcast_convert_type(fracs[:, :ntb], jnp.int32)  # (3, ntb)
     # clip before quantizing: lanes beyond n_tris hold arbitrary kernel
     # padding whose round/astype would be UB-ish garbage bleeding into <<
     cq = jnp.round(jnp.clip(c[..., :ntb], 0.0, 1.0) * 255.0).astype(jnp.int32)
     rgb = (cq[:, 0] << 16) | (cq[:, 1] << 8) | cq[:, 2]  # (3, ntb)
     cl = cells[:, :ntb].astype(jnp.int32)
     xy = (cl[0] & 0xFFFF) | (cl[1] << 16)
+    ze = (cl[2] & 0xFFFF) | (edges[:ntb] << 16)
     meta = jnp.zeros((ntb,), jnp.int32)
     meta = meta.at[0].set(n_tris.astype(jnp.int32))
     meta = meta.at[1].set(overflow.astype(jnp.int32))
     return jnp.concatenate(
-        [vi, rgb, xy[None], cl[2][None], meta[None]], axis=0)
+        [fi, xy[None], ze[None], rgb, meta[None]], axis=0)
+
+
+_EDGE_A = np.asarray(mt.EDGE_ENDPOINTS[:, 0])  # (12,) corner ids
+_EDGE_B = np.asarray(mt.EDGE_ENDPOINTS[:, 1])
+
+
+def _unpack_verts(packed: np.ndarray, nt: int, voxel_size: float):
+    """(nt, 3, 3) f32 vertices + (nt, 3) i64 cell coords from the 9-row
+    pull. Replays _extract_stage2's vertex expression term by term —
+    ((cell + 0.5 + bit(ca)) + frac * (bit(cb) - bit(ca))) * voxel_size —
+    as f32 IEEE add/mul in the same association order, so the result is
+    bit-identical to the device's (3, 3, T) vertex output."""
+    frac = (np.ascontiguousarray(packed[:3, :nt]).view(np.float32)
+            .reshape(3, nt))
+    xy = packed[3, :nt]
+    ze = packed[4, :nt]
+    cx = ((xy & 0xFFFF) ^ 0x8000) - 0x8000  # sign-extend low half
+    cy = xy >> 16  # arithmetic shift sign-extends the high half
+    cz = ((ze & 0xFFFF) ^ 0x8000) - 0x8000
+    edges = (ze >> 16) & 0xFFF
+    cellf = np.stack([cx, cy, cz]).astype(np.float32)  # (3, nt)
+    cells = np.stack([cx, cy, cz], axis=1)  # (nt, 3) host grouping key
+    vs = np.float32(voxel_size)
+    half = np.float32(0.5)
+    verts = np.empty((3, nt, 3), np.float32)  # (vtx, tri, xyz)
+    for v in range(3):
+        ev = (edges >> (4 * v)) & 0xF
+        ca = _EDGE_A[ev]
+        cb = _EDGE_B[ev]
+        f = frac[v]
+        for ax in range(3):
+            a = ((ca >> ax) & 1).astype(np.float32)
+            d = (((cb >> ax) & 1) - ((ca >> ax) & 1)).astype(np.float32)
+            verts[v, :, ax] = ((cellf[ax] + half + a) + f * d) * vs
+    return verts.transpose(1, 0, 2), cells
 
 
 def _slice_bucket(n: int, cap: int) -> int:
@@ -285,38 +323,37 @@ class IncrementalExtractor:
             t0 = time.perf_counter()
             while True:
                 cc, ct = getattr(self, budgets[0]), getattr(self, budgets[1])
-                v, c_, n_tris, ovf, cells = mc.extract_mesh_arrays(
-                    vol, self.cfg, max_cells=cc, max_tris=ct,
-                    return_cells=True, **kw)
+                _v, c_, n_tris, ovf, cells, fracs, edges = (
+                    mc.extract_mesh_arrays(
+                        vol, self.cfg, max_cells=cc, max_tris=ct,
+                        return_cells=True, return_encoding=True, **kw))
                 # ONE pull: geometry + meta (count, overflow). The bucket is
                 # seeded from the previous update's count — smooth scanning
                 # keeps it stable — and corrected from the meta row when it
                 # guessed low (one extra pull, rare).
                 ntb = _slice_bucket(max(self._last_nt, 4096), ct)
-                packed = np.asarray(_pack_pull(v, c_, cells, n_tris, ovf, ntb))
-                nt = int(packed[14, 0])
-                if packed[14, 1]:  # overflow: grow persistently and redo
+                packed = np.asarray(
+                    _pack_pull(c_, cells, fracs, edges, n_tris, ovf, ntb))
+                nt = int(packed[8, 0])
+                if packed[8, 1]:  # overflow: grow persistently and redo
                     setattr(self, budgets[0], cc * 4)
                     setattr(self, budgets[1], ct * 4)
                     continue
                 if nt > ntb:
                     ntb = _slice_bucket(nt, ct)
                     packed = np.asarray(
-                        _pack_pull(v, c_, cells, n_tris, ovf, ntb))
+                        _pack_pull(c_, cells, fracs, edges, n_tris, ovf, ntb))
                 break
             tms["extract_pull"] = time.perf_counter() - t0
             t0 = time.perf_counter()
             self._last_nt = nt
-            verts = (np.ascontiguousarray(packed[:9]).view(np.float32)
-                     .reshape(3, 3, ntb).transpose(2, 0, 1)[:nt])
-            rgb = packed[9:12]
+            verts, cellnp = _unpack_verts(packed, nt,
+                                          self.cfg.voxel_size)
+            rgb = packed[5:8]
             vcols = (np.stack([(rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255],
                               axis=1).transpose(2, 0, 1)[:nt]
                      .astype(np.float32) / 255.0)
-            xy, cz = packed[12], packed[13]
-            cx = ((xy & 0xFFFF) ^ 0x8000) - 0x8000  # sign-extend low half
-            blk = (np.stack([cx, xy >> 16, cz], axis=1)[:nt].astype(np.int64)
-                   // self.cfg.block_resolution)
+            blk = cellnp.astype(np.int64) // self.cfg.block_resolution
 
             # group the pull by source block, then patch the soup: every
             # emitted block's old span is dropped (emitted blocks with zero

@@ -329,15 +329,23 @@ def _extract_gather(payload, c_t):
     return payload[c_t]
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_tris", "return_cells"))
+@partial(jax.jit, static_argnames=("cfg", "max_tris", "return_cells",
+                                   "return_encoding"))
 def _extract_stage2(pt, total_tris, overflow1, cfg: TSDFConfig,
-                    max_tris: int, return_cells: bool = False):
+                    max_tris: int, return_cells: bool = False,
+                    return_encoding: bool = False):
     """Per-triangle expansion: elementwise vertex reconstruction from the
     gathered (max_tris, 64) payload rows.
 
     All elementwise work runs on flat (T,) arrays, one pass per triangle
     vertex: a (3, T) layout would tile-pad 3 sublanes to 8 and waste 62% of
-    every VPU op on padding."""
+    every VPU op on padding.
+
+    ``return_encoding`` additionally returns (fracs (3, T) f32, edges (T,)
+    i32 with vertex v's edge id in bits 4v..4v+3) — the compressed vertex
+    encoding tsdf.incremental pulls instead of 9 xyz rows: together with the
+    cell coords the host reconstructs vertices BIT-EXACTLY (the same
+    f32 expression this stage evaluates, IEEE add/mul in the same order)."""
     bci = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
 
     t_iota = jnp.arange(max_tris, dtype=jnp.int32)
@@ -355,6 +363,8 @@ def _extract_stage2(pt, total_tris, overflow1, cfg: TSDFConfig,
 
     verts_rows = []
     vcols_rows = []
+    frac_rows = []
+    edges_packed = jnp.zeros((max_tris,), jnp.int32)
     for v in range(3):
         # this vertex's edge id: nibble 3*k_t + v of the packed table row
         sidx = 3 * k_t + v  # (T,)
@@ -420,6 +430,9 @@ def _extract_stage2(pt, total_tris, overflow1, cfg: TSDFConfig,
         # zero the tail (cummax propagated the last cell into tail slots)
         verts_rows.append(jnp.where(tmask[None], vert, 0.0))
         vcols_rows.append(jnp.where(tmask[None], vcol, 0.0))
+        if return_encoding:
+            frac_rows.append(jnp.where(tmask, frac, 0.0))
+            edges_packed = edges_packed | (jnp.where(tmask, ev, 0) << (4 * v))
 
     # outputs stay T-minor: (vtx, xyz, tri). extract_mesh reorders on host.
     out = (jnp.stack(verts_rows), jnp.stack(vcols_rows), num_tris, overflow)
@@ -428,13 +441,16 @@ def _extract_stage2(pt, total_tris, overflow1, cfg: TSDFConfig,
         # extractor groups triangles by owning block with floor_div(cell, R)
         cells = jnp.stack([cell0, cell1, cell2]).astype(jnp.int32)
         out = out + (jnp.where(tmask[None], cells, -9999),)
+    if return_encoding:
+        out = out + (jnp.stack(frac_rows), edges_packed)
     return out
 
 
 def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
                         max_cells: int = 65536, max_tris: int = 131072,
                         extract_blocks: int = None, emit_mask=None,
-                        return_cells: bool = False, sel=None, nbr_sel=None):
+                        return_cells: bool = False, sel=None, nbr_sel=None,
+                        return_encoding: bool = False):
     """Device-side extraction. Returns (vertices (3, 3, max_tris), colors,
     num_tris, overflow_flag). ``extract_blocks`` bounds the alive prefix
     processed (blocks are allocated densely, so slots >= n_blocks are dead).
@@ -451,7 +467,8 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
         sel=sel, nbr_sel=nbr_sel)
     pt = _extract_gather(payload, c_t)
     return _extract_stage2(pt, total_tris, overflow1, cfg=cfg,
-                           max_tris=max_tris, return_cells=return_cells)
+                           max_tris=max_tris, return_cells=return_cells,
+                           return_encoding=return_encoding)
 
 
 _TRIANGLE_IDX_CACHE = {}
