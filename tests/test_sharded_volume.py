@@ -200,6 +200,55 @@ def test_sharded_slam_batch_tracks_like_single_device(mesh, synthetic_camera):
     assert sum(int(x) for x in np.asarray(vol.n_blocks)) > 50
 
 
+def test_four_camera_rig_slam_on_4x2_mesh(synthetic_camera):
+    """The (cam x blk) sharding is N-camera generic, not dual-camera
+    specific (the reference tops out at 2 cameras — SURVEY §2.3): a 4-mount
+    rig tracks and fuses on a (4, 2) mesh, and the combined extraction is
+    seam-free across all 8 shards."""
+    from azurekinect3dreconstruction_tpu.config import PipelineConfig
+    from azurekinect3dreconstruction_tpu.ops.image import rgb_to_intensity
+    from azurekinect3dreconstruction_tpu.tsdf import marching_cubes as mc
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh4 = sv.make_mesh(4, 2)
+    intr = synthetic_camera.intrinsics
+    rays = pixel_rays(intr)
+    pcfg = PipelineConfig(tsdf=CFG)
+
+    mounts = orbit_trajectory(4, radius=0.25, angle_span=1.2)
+    motion = orbit_trajectory(3, radius=0.05, angle_span=0.12)
+    ints, deps, cols = [], [], []
+    for mount in mounts:
+        ii, dd, cc = [], [], []
+        for m in motion:
+            z, c = synthetic_camera.render(np.asarray(mount @ m, np.float32))
+            ii.append(rgb_to_intensity(c))
+            dd.append(z)
+            cc.append(c)
+        ints.append(jnp.stack(ii))
+        deps.append(jnp.stack(dd))
+        cols.append(jnp.stack(cc))
+    intensities = jnp.stack(ints)  # (4, 3, H, W)
+    depths = jnp.stack(deps)
+    colors = jnp.stack(cols)
+    T0 = jnp.stack([jnp.asarray(m, jnp.float32) for m in mounts])
+
+    batch = sv.make_sharded_slam_batch(mesh4, intr, pcfg, stride=2)
+    vol = sv.create_sharded(CFG, mesh4)
+    vol, poses, fits = batch(vol, T0, intensities, depths, colors, rays)
+    fits = np.asarray(fits)
+    assert fits.shape == (4, 2)
+    assert (fits > 0.3).all(), fits
+    assert np.isfinite(np.asarray(poses)).all()
+    nb = np.asarray(vol.n_blocks)
+    assert int(nb.sum()) > 50 and (nb > 0).all(), nb
+
+    combined = sv.combine_shards(vol, CFG, 2)
+    m = mc.extract_mesh(combined, CFG, max_cells=65536, max_tris=65536)
+    assert int(m.num_triangles) > 0
+
+
 def test_dual_fusion_sharded_mode_matches_single_device(synthetic_camera):
     """VERDICT r1 next-step #4: DualCameraFusion --sharded is a real
     execution mode whose fused volume + seam-free extraction match the
