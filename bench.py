@@ -253,6 +253,9 @@ def main():
     # measure it so the JSON is self-describing (a local PCIe-attached TPU
     # moves the same bytes in ~0.1 ms), and report the same class pipeline
     # with frames pre-staged on device: the framework + step cost alone.
+    # h2d_mbps is SERIAL per-put bandwidth (each device_put pays a tunnel
+    # round trip); the double-buffered feeder overlaps those with compute,
+    # so it lower-bounds what streaming actually achieves.
     bufs = [np.random.default_rng(i).integers(0, 255, 2 << 20,
                                               dtype=np.uint8)
             for i in range(4)]
