@@ -32,12 +32,12 @@ def _enable_compilation_cache() -> None:
     the remote-TPU tunnel: the heavy kernels compile once per machine, not
     once per script run — the fused TSDF batch alone is ~12 s of compile).
     Respects an explicit JAX_COMPILATION_CACHE_DIR / prior config."""
-    if _jax.config.jax_compilation_cache_dir:
-        return
-    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    cache = (_os.path.join(root, ".jax_cache") if _os.access(root, _os.W_OK)
-             else _os.path.expanduser("~/.cache/azurekinect3d_jax"))
     try:
+        if _jax.config.jax_compilation_cache_dir:
+            return
+        root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        cache = (_os.path.join(root, ".jax_cache") if _os.access(root, _os.W_OK)
+                 else _os.path.expanduser("~/.cache/azurekinect3d_jax"))
         _os.makedirs(cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", cache)
     except Exception:

@@ -198,11 +198,12 @@ def _integrate_pallas_seq(local: TSDFVolume, depths_all, colors_all,
 
 
 def _resolve_backend(backend: str) -> bool:
-    """True = use the Pallas kernels (TPU), False = XLA reference path."""
-    if backend == "auto":
-        return jax.default_backend() == "tpu"
-    assert backend in ("pallas", "xla"), backend
-    return backend == "pallas"
+    """True = use the Pallas kernels (TPU), False = XLA reference path.
+    Thin alias over the shared policy (core/backend.py) so every step
+    builder resolves identically."""
+    from azurekinect3dreconstruction_tpu.core.backend import resolve_backend
+
+    return resolve_backend(backend)[0]
 
 
 _VOL_SPECS = (P("blk"), P("blk"), P("blk"), P("blk"), P("blk"), P("blk"),

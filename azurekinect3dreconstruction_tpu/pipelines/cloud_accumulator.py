@@ -42,10 +42,13 @@ class CloudAccumulator:
                  model_capacity: int = 262144, output_dir: str = "results",
                  coarse: bool = True):
         """``coarse``: run the reference's FPFH + RANSAC bootstrap before
-        every point-to-plane refinement (Reconstruction.py:100-135 runs the
+        the point-to-plane refinement (Reconstruction.py:100-135 runs the
         coarse stage on EVERY registration — it is what recovers tracking
-        when consecutive keyframes are far apart). Disable for dense smooth
-        streams where projective ICP alone suffices."""
+        when consecutive keyframes are far apart). Here it is skipped when
+        the un-seeded fine ICP already reports fitness >=
+        ``coarse_skip_fitness`` (the seeded result is gated by that same
+        fitness, so it cannot change the answer there). Disable entirely for
+        dense smooth streams where projective ICP alone suffices."""
         self.intr = intrinsics
         self.cfg = config or PipelineConfig()
         self.rays = pixel_rays(intrinsics)
@@ -56,6 +59,17 @@ class CloudAccumulator:
         self.T_world_cam = np.eye(4)
         self._cam_centers = [np.zeros(3)]  # trajectory, for normal orientation
         self.prev_maps: Optional[TargetMaps] = None
+        # un-seeded fine-ICP fitness at/above this skips the coarse stage:
+        # when projective ICP already reports near-total overlap the seeded
+        # result essentially never wins (it is gated by the same fine-ICP
+        # fitness), so the FPFH+RANSAC cost would be pure waste. Set to 1.1
+        # to force the reference's run-it-every-time behavior.
+        self.coarse_skip_fitness = 0.8
+        # (ds, dm, n_s, f_s) of the last frame's coarse source — byte-for-
+        # byte the next frame's coarse TARGET features (prev_maps is the
+        # same backprojected cloud), so they are cached instead of recomputed
+        self._feat_cache = None
+        self._feat_next = None
         self.telemetry = Telemetry()
         self.saver = ResultSaver(output_dir)
         self.frame_index = 0
@@ -81,17 +95,16 @@ class CloudAccumulator:
                                       8192, self.cfg.registration.ransac_hypotheses))
         vox = 0.015
         ds, dm, _, _ = voxel_downsample_arrays(src, s_mask, vox, 8192)
-        # 1/16-density pixel subsample before the grid: identical 1.5 cm
-        # coverage (organized depth is far denser than the voxel grid), 16x
-        # less downsample input
-        tgt = self.prev_maps.points[::4, ::4].reshape(-1, 3)
-        dt, dtm, _, _ = voxel_downsample_arrays(tgt, tgt[:, 2] > 0, vox, 8192)
         n_s = estimate_normals_knn(ds, dm, radius=2 * vox, k=12,
                                    orient_to=np.zeros(3))
-        n_t = estimate_normals_knn(dt, dtm, radius=2 * vox, k=12,
-                                   orient_to=np.zeros(3))
         f_s = compute_fpfh(ds, n_s, dm, radius=4 * vox, k=16)
-        f_t = compute_fpfh(dt, n_t, dtm, radius=4 * vox, k=16)
+        if self._feat_cache is not None:
+            # last frame's source cloud IS this frame's target (prev_maps
+            # backprojects the same depth) — reuse its features verbatim
+            dt, dtm, n_t, f_t = self._feat_cache
+        else:
+            dt, dtm, n_t, f_t = self._target_features(vox)
+        self._feat_next = (ds, dm, n_s, f_s)
         # multi-restart RANSAC (features reused, only the cheap hypothesis
         # scoring re-runs), candidates ranked by cloud-overlap fitness
         # (evaluate_registration = the reference's fitness semantics) — a
@@ -112,6 +125,22 @@ class CloudAccumulator:
             self.telemetry.count("coarse_reject")
         return best
 
+    def _target_features(self, vox: float = 0.015):
+        """Coarse-stage target features from ``prev_maps``: 1/16-density
+        pixel subsample before the grid (identical 1.5 cm coverage —
+        organized depth is far denser than the voxel grid — at 16x less
+        downsample input), then normals + FPFH. Must mirror the SOURCE
+        feature computation in ``_coarse_seed`` exactly: the feature cache
+        hands last frame's source tuple over as this frame's target
+        (``test_cloud_accumulator_feature_cache_is_exact`` pins the
+        byte-identity)."""
+        tgt = self.prev_maps.points[::4, ::4].reshape(-1, 3)
+        dt, dtm, _, _ = voxel_downsample_arrays(tgt, tgt[:, 2] > 0, vox, 8192)
+        n_t = estimate_normals_knn(dt, dtm, radius=2 * vox, k=12,
+                                   orient_to=np.zeros(3))
+        f_t = compute_fpfh(dt, n_t, dtm, radius=4 * vox, k=16)
+        return dt, dtm, n_t, f_t
+
     def process_frame(self, depth_raw, color_raw) -> None:
         cam = self.cfg.camera
         frame = RGBDFrame.from_raw(depth_raw, color_raw, cam.depth_scale,
@@ -126,7 +155,8 @@ class CloudAccumulator:
             reg = self.cfg.registration
             res = icp_point_to_plane(flat, mask, self.prev_maps, self.intr,
                                      cfg=reg)
-            if self.coarse:
+            self._feat_next = None
+            if self.coarse and float(res.fitness) < self.coarse_skip_fitness:
                 # the reference's coarse stage: FPFH + RANSAC seed, refined
                 # coarse-to-fine (a RANSAC seed can sit several cm off, so
                 # the first ICP pass runs at 3x the correspondence radius).
@@ -163,6 +193,9 @@ class CloudAccumulator:
                 self.telemetry.count("reg_fail")
         self.prev_maps = TargetMaps.from_depth(frame.depth, self.intr,
                                                rays=self.rays)
+        # valid only if the coarse stage ran this frame (else None, and the
+        # next coarse call rebuilds target features from prev_maps)
+        self._feat_cache, self._feat_next = self._feat_next, None
         # grow the model: += world-frame points, periodic re-downsample
         w = np.asarray(se3.transform_points(
             jnp.asarray(self.T_world_cam, jnp.float32), flat))

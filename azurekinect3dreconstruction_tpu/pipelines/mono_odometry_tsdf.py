@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from azurekinect3dreconstruction_tpu.config import PipelineConfig
+from azurekinect3dreconstruction_tpu.core.backend import resolve_backend
 from azurekinect3dreconstruction_tpu.core.camera import Intrinsics, pixel_rays
 from azurekinect3dreconstruction_tpu.core.types import RGBDFrame
 from azurekinect3dreconstruction_tpu.tracking.odometry import compute_odometry
@@ -119,14 +120,12 @@ class MonoOdometryTSDF:
         jitted dispatch): Pallas kernels when the backend resolves to TPU,
         the identical-semantics XLA mirror elsewhere."""
         if self._step is None:
-            on_tpu = jax.default_backend() == "tpu"
-            use_pallas = self.backend == "pallas" or (
-                self.backend == "auto" and on_tpu)
+            use_pallas, interp = resolve_backend(self.backend)
             self._step = make_raw_slam_step(
                 self.intr, self.cfg, worklist_size=self.worklist_size,
                 stride=2, min_fitness=self.MIN_FITNESS,
                 backend="pallas" if use_pallas else "xla",
-                interpret=use_pallas and not on_tpu)
+                interpret=interp)
         return self._step
 
     def _get_track_step(self):
@@ -134,9 +133,7 @@ class MonoOdometryTSDF:
         for the model-ICP refinement (same backend selection as the fused
         step, same gate semantics)."""
         if self._track is None:
-            on_tpu = jax.default_backend() == "tpu"
-            use_pallas = self.backend == "pallas" or (
-                self.backend == "auto" and on_tpu)
+            use_pallas, interp = resolve_backend(self.backend)
             ocfg = self.cfg.odometry
             min_fitness = self.MIN_FITNESS
 
@@ -145,7 +142,6 @@ class MonoOdometryTSDF:
                     compute_odometry_tpu,
                 )
 
-                interp = not on_tpu
                 odo = lambda pi, pd, i, d: compute_odometry_tpu(
                     pi, pd, i, d, self.intr, ocfg, interpret=interp)
             else:
@@ -317,6 +313,20 @@ def apply_odometry_gate(T_prev, res, min_fitness: float):
                       jnp.eye(4, dtype=jnp.float32))
     T = jnp.matmul(jnp.asarray(T_prev, jnp.float32), T_rel,
                    precision=jax.lax.Precision.HIGHEST)
+    # The pose chain composes in f32 on device (TPU f64 is emulated and the
+    # pose must live on device for the fused integrate). Of the two f32
+    # error modes, translation rounding is a benign ~1e-7 random walk
+    # (~1e-5 m after 10k frames, far under any voxel size), but rotation
+    # non-orthogonality compounds MULTIPLICATIVELY through the chain — so
+    # snap R back to SO(3) each step with one Newton iteration of the polar
+    # decomposition (R <- 1.5 R - 0.5 R Rᵀ R; quadratic convergence, and one
+    # step from a near-orthogonal start lands at f32 roundoff). Three 3x3
+    # matmuls: free next to the odometry.
+    hi = jax.lax.Precision.HIGHEST
+    R = T[:3, :3]
+    R = 1.5 * R - 0.5 * jnp.matmul(
+        R, jnp.matmul(R.T, R, precision=hi), precision=hi)
+    T = T.at[:3, :3].set(R)
     return T, jnp.where(ok, res.fitness, jnp.float32(-1.0))
 
 

@@ -38,10 +38,24 @@ def main():
         browser = ReconstructionBrowser(args.dir)
         if args.list_only:
             browser.list()
-        else:
+            return
+        if not args.html:
             browser.run_interactive()
-        return
-    if args.mode == "latest":
+            return
+        # --html in choose mode: prompt for the index, then fall through to
+        # the shared export tail instead of opening a window.
+        files = browser.list()
+        if not files:
+            return
+        try:
+            choice = int(input("export which result? ") or "0")
+        except ValueError:
+            choice = 0
+        if choice >= len(files):
+            log_warning("no such result")
+            return
+        path = files[choice]
+    elif args.mode == "latest":
         hit = load_latest_reconstruction(args.dir)
         if hit is None:
             return

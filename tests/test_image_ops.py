@@ -1,13 +1,13 @@
-"""Image-op semantics: the conv-based forms (ops/image.py) must match the
-plain shifted-slice definitions they replaced.
+"""Image-op semantics: the shift-add forms (ops/image.py) must match the
+plain padded-sum definitions written out longhand here.
 
-The odometry pyramids/gradients were rewritten as native convolutions (one
-strided conv for blur+decimate, one 2-channel conv for both Sobel gradients)
-because the shifted-slice + ``[::2, ::2]`` chains compiled to slow
-pad/concat/strided-slice kernels on TPU (the measured per-frame odometry
-"glue", docs/PERF.md). These tests keep the numerics anchored to the
-original definitions (reference behavior: the pyramid/gradient stack inside
-Open3D's compute_rgbd_odometry, used at
+The pyramid/gradient ops were tried both ways on the real chip: as native
+``conv_general_dilated`` calls and as shifted-slice/add chains. The convs
+LOST (13.4 ms -> 35 ms odometry frame; tiny-channel convs hit a slow MXU
+path — see docs/PERF.md "conv-vs-shift-add stencil rule"), so ops/image.py
+keeps the shift-add forms. These tests anchor those numerics to the
+original longhand definitions (reference behavior: the pyramid/gradient
+stack inside Open3D's compute_rgbd_odometry, used at
 /root/reference/CodeThatWorks/1camera-detectsSceneChanges.py:243-248).
 """
 

@@ -212,6 +212,26 @@ def test_cloud_accumulator_coarse_recovers_large_motion(cam, tmp_path):
         err_icp, err_coarse)
 
 
+def test_cloud_accumulator_feature_cache_is_exact(cam, tmp_path):
+    """The coarse stage hands last frame's SOURCE feature tuple over as
+    this frame's TARGET (prev_maps backprojects the same depth through the
+    same rays, so downsample/normals/FPFH are recomputations of identical
+    inputs). Pin the byte-identity so the cache and `_target_features` can
+    never silently drift apart."""
+    from azurekinect3dreconstruction_tpu.pipelines import CloudAccumulator
+
+    pipe = CloudAccumulator(cam.intrinsics, SMALL_CFG, coarse=True,
+                            output_dir=str(tmp_path))
+    pipe.coarse_skip_fitness = 1.1  # force the coarse stage every keyframe
+    for T in orbit_trajectory(2, radius=0.2, angle_span=0.3):
+        d, c = cam.capture(T)
+        pipe.process_frame(d, c)
+    assert pipe._feat_cache is not None  # coarse ran on the 2nd keyframe
+    fresh = pipe._target_features()
+    for got, want in zip(pipe._feat_cache, fresh):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_mono_frame_to_model_tracking(cam):
     """frame_to_model mode: odometry predicts, projective ICP against the
     device-extracted model surface refines (reference
