@@ -162,6 +162,12 @@ class TriangleMeshHost:
     vertex_colors: Optional[np.ndarray] = None
     vertex_normals: Optional[np.ndarray] = None
 
+    def compact(self) -> "TriangleMeshHost":
+        """Already compact — lets callers treat device ``TriangleMesh`` and
+        host meshes uniformly (e.g. the streaming-volume extraction returns
+        a host soup where the plain pipeline returns a padded device mesh)."""
+        return self
+
     def compute_vertex_normals(self) -> "TriangleMeshHost":
         v, t = self.vertices, self.triangles
         fn = np.cross(v[t[:, 1]] - v[t[:, 0]], v[t[:, 2]] - v[t[:, 0]])

@@ -43,14 +43,24 @@ class MonoOdometryTSDF:
     def __init__(self, intrinsics: Intrinsics, config: Optional[PipelineConfig] = None,
                  backend: str = "auto", tracking: str = "frame_to_frame",
                  model_refine_interval: int = 5, model_points: int = 32768,
-                 model_min_inliers: int = 3000, worklist_size: int = 2048):
+                 model_min_inliers: int = 3000, worklist_size: int = 2048,
+                 streaming=None):
         """``tracking``: "frame_to_frame" (reference
         1camera-detectsSceneChanges.py odometry chaining) or
         "frame_to_model" — odometry predicts, then projective point-to-plane
         ICP against device-extracted model surface points refines (reference
         InitialReconstruction-CUDA-2cam:653-674), which bounds the
         frame-to-frame drift accumulation (this mode syncs the host per
-        frame for the refinement gate; frame_to_frame is sync-free)."""
+        frame for the refinement gate; frame_to_frame is sync-free).
+
+        ``streaming``: an optional :class:`tsdf.streaming.StreamingTSDF`
+        manager (same TSDFConfig). When set, the pipeline hands the volume
+        to its eviction/reload policy every ``streaming.check_interval``
+        frames (one pose sync per tick — the zero-sync hot path between
+        ticks is unchanged) and ``extract_mesh`` assembles live + frozen
+        geometry, so scans of any spatial extent run in the fixed pool
+        (the reference's ever-growing ScalableTSDFVolume scale semantics,
+        CreateMesh.py:300-336, on constant HBM)."""
         assert tracking in ("frame_to_frame", "frame_to_model")
         self.intr = intrinsics
         self.cfg = config or PipelineConfig()
@@ -62,6 +72,12 @@ class MonoOdometryTSDF:
         self.worklist_size = worklist_size
         self.rays = pixel_rays(intrinsics)
         self.volume = tsdf.create(self.cfg.tsdf)
+        self.streaming = streaming
+        self._stream_n = 0
+        if streaming is not None:
+            assert streaming.cfg == self.cfg.tsdf, \
+                "streaming manager must share the pipeline's TSDFConfig"
+            streaming.vol = self.volume  # one pool, owned by the pipeline
         self._T_dev = jnp.eye(4, dtype=jnp.float32)
         self._traj_dev = [self._T_dev]
         self._fits_dev = []  # device fitness scalars, one per tracked frame
@@ -106,6 +122,10 @@ class MonoOdometryTSDF:
     def reset(self) -> None:
         """The reference's 'C'-key volume reset (scene change)."""
         self.volume = tsdf.reset(self.cfg.tsdf)
+        if self.streaming is not None:
+            self.streaming.reset_state()
+            self.streaming.vol = self.volume
+            self._stream_n = 0
         self._T_dev = jnp.eye(4, dtype=jnp.float32)
         self._traj_dev = [self._T_dev]
         self._fits_dev = []
@@ -216,6 +236,16 @@ class MonoOdometryTSDF:
         self.prev = frame
         self._traj_dev.append(self._T_dev)
         self.frame_index += 1
+        if self.streaming is not None:
+            self._stream_n += 1
+            if self._stream_n >= self.streaming.check_interval:
+                self._stream_n = 0
+                # one pose sync per tick; the manager's own host syncs run
+                # at eviction/reload cadence, not per frame
+                with self.telemetry.time_block("streaming"):
+                    self.streaming.vol = self.volume
+                    self.streaming.tick(self.T_world_cam[:3, 3])
+                    self.volume = self.streaming.vol
         if (self.tracking == "frame_to_model"
                 and self.frame_index % self.model_refine_interval == 0):
             # refresh the device-resident model surface: budget-bounded
@@ -285,10 +315,21 @@ class MonoOdometryTSDF:
             self.telemetry.count("model_icp_skip")
 
     def extract_mesh(self, **kw):
+        """Scene mesh. With ``streaming`` set, the manager assembles live +
+        frozen geometry (already a compact host soup — ``.compact()`` on
+        either return type yields a TriangleMeshHost)."""
         with self.telemetry.time_block("extract"):
+            if self.streaming is not None:
+                self.streaming.vol = self.volume
+                mesh = self.streaming.extract_mesh()
+                self.volume = self.streaming.vol  # refresh may have reloaded
+                return mesh
             return mc.extract_mesh(self.volume, self.cfg.tsdf, **kw)
 
     def extract_point_cloud(self, **kw):
+        """Surface point samples of the LIVE volume (with ``streaming`` set,
+        evicted far regions are not included — use :meth:`extract_mesh`,
+        which assembles them, for full-scene exports)."""
         return tsdf.extract_point_cloud(self.volume, self.cfg.tsdf, **kw)
 
 

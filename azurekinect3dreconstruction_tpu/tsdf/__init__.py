@@ -14,3 +14,4 @@ from azurekinect3dreconstruction_tpu.tsdf.volume import (
     reset,
     sample_tsdf,
 )
+from azurekinect3dreconstruction_tpu.tsdf.streaming import StreamingTSDF  # noqa: E402 (needs volume/marching_cubes above)

@@ -263,6 +263,19 @@ def main():
     t0 = time.perf_counter()
     jax.block_until_ready([jax.device_put(b) for b in bufs])
     h2d_mbps = (len(bufs) * 2.0) / (time.perf_counter() - t0)
+    # device->host rides the same tunnel but degrades independently (r3
+    # observed 45 MB/s one run, ~2 MB/s another — which inflates the
+    # incremental/full-refresh PULL numbers ~5-8x); measure it so a reader
+    # can tell a degraded-tunnel run from a real extraction regression.
+    dbuf = jax.block_until_ready(
+        jnp.zeros((2 << 20,), jnp.uint8) + jnp.uint8(1))
+    np.asarray(dbuf)  # warm the transfer path
+    dbufs = [jax.block_until_ready(jnp.full((2 << 20,), i, jnp.uint8))
+             for i in range(1, 4)]
+    t0 = time.perf_counter()
+    for b in dbufs:
+        np.asarray(b)
+    d2h_mbps = (len(dbufs) * 2.0) / (time.perf_counter() - t0)
 
     dev_frames = [(jax.device_put(d), jax.device_put(c))
                   for d, c in host_frames]
@@ -331,6 +344,23 @@ def main():
     inc2.update(vol)
     extract_full_refresh_ms = (time.perf_counter() - t0) * 1000.0
 
+    _mark("streaming compaction")
+    # host-streaming eviction (tsdf/streaming.py): the device-side cost of
+    # re-packing the pool after an eviction — one full-pool row gather +
+    # hash-table rebuild. Identity permutation over the bench scene's alive
+    # prefix; min-of-3 isolates the device time from tunnel jitter.
+    from azurekinect3dreconstruction_tpu.tsdf.streaming import _compact
+
+    nb_now = int(vol.n_blocks)
+    perm = jnp.arange(vol.tsdf.shape[0], dtype=jnp.int32)
+    jax.block_until_ready(_compact(vol, perm, jnp.int32(nb_now)).tsdf)
+    comp_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(_compact(vol, perm, jnp.int32(nb_now)).tsdf)
+        comp_times.append(time.perf_counter() - t0)
+    evict_compact_ms = float(min(comp_times) * 1000.0)
+
     _mark("done")
     print(json.dumps({
         "metric": "depth_fps_into_5mm_tsdf_640x576",
@@ -350,10 +380,12 @@ def main():
         "pipeline_frame_ms": round(pipeline_dt * 1000.0, 2),
         "pipeline_fps_resident": round(pipeline_fps_resident, 2),
         "h2d_mbps": round(h2d_mbps, 1),
+        "d2h_mbps": round(d2h_mbps, 1),
         "extract_ms": round(extract_ms, 2),
         "extract_incremental_ms": round(extract_inc_ms, 2),
         "extract_full_refresh_ms": round(extract_full_refresh_ms, 2),
         "incremental_touched_blocks": int(np.median(inc_touched)),
+        "evict_compact_ms": round(evict_compact_ms, 2),
         "min_sharded_fitness": round(float(jnp.min(sfits)), 3),
         "mesh_triangles": int(n_tris),
         "extract_overflow": bool(ovf),

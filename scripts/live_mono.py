@@ -28,14 +28,28 @@ def main():
                     choices=["frame_to_frame", "frame_to_model"],
                     help="frame_to_model refines odometry against the fused "
                          "model surface (bounds drift)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="stream far-from-camera TSDF blocks to host memory "
+                         "(unbounded scene extent on the fixed device pool; "
+                         "saves assemble live + streamed geometry)")
     args = ap.parse_args()
 
     frames, intr = make_source(args)
     cfg = PipelineConfig(
         tsdf=TSDFConfig(voxel_size=args.voxel, sdf_trunc=4 * args.voxel),
     )
+    streaming = None
+    if args.streaming:
+        from azurekinect3dreconstruction_tpu.tsdf.streaming import (
+            StreamingTSDF,
+        )
+
+        streaming = StreamingTSDF.for_pipeline(cfg)
+        log_info(f"streaming: reload<{streaming.reload_dist:.2f} m, "
+                 f"evict>{streaming.evict_dist:.2f} m, "
+                 f"high water {streaming.high_water} blocks")
     pipe = MonoOdometryTSDF(intr, cfg, backend=args.backend,
-                            tracking=args.tracking)
+                            tracking=args.tracking, streaming=streaming)
     viewer = make_viewer(args, "mono odometry+TSDF")
     saver = ResultSaver(args.output)
     state = {"mesh_mode": False}

@@ -212,6 +212,34 @@ def test_cloud_accumulator_coarse_recovers_large_motion(cam, tmp_path):
         err_icp, err_coarse)
 
 
+def test_mono_streaming_mode_matches_plain(cam):
+    """MonoOdometryTSDF(streaming=...) must track and reconstruct exactly
+    like the plain pipeline on a scene that fits the pool (ticks run, no
+    eviction triggers) — the wiring may not perturb the zero-sync hot path.
+    Actual eviction/reload exactness is test_streaming.py's job."""
+    from azurekinect3dreconstruction_tpu.pipelines import MonoOdometryTSDF
+    from azurekinect3dreconstruction_tpu.tsdf.streaming import StreamingTSDF
+
+    poses = orbit_trajectory(6, radius=0.25, angle_span=0.5)
+    raw = [cam.capture(T) for T in poses]
+
+    def run(streaming):
+        pipe = MonoOdometryTSDF(cam.intrinsics, SMALL_CFG, backend="xla",
+                                streaming=streaming)
+        for d, c in raw:
+            pipe.process_frame(d, c)
+        m = pipe.extract_mesh().compact()
+        tri = m.vertices.reshape(-1, 9)
+        return tri[np.lexsort(tri.T[::-1])], pipe.T_world_cam
+
+    sv = StreamingTSDF(SMALL_CFG.tsdf, evict_dist=9.0, reload_dist=7.0,
+                       check_interval=2)
+    soup_s, T_s = run(sv)
+    soup_p, T_p = run(None)
+    np.testing.assert_array_equal(T_s, T_p)
+    np.testing.assert_array_equal(soup_s, soup_p)
+
+
 def test_cloud_accumulator_feature_cache_is_exact(cam, tmp_path):
     """The coarse stage hands last frame's SOURCE feature tuple over as
     this frame's TARGET (prev_maps backprojects the same depth through the

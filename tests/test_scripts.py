@@ -70,6 +70,18 @@ def test_live_mono_saves_reconstruction(results_dir):
         assert any(kind in n for n in names), (kind, names)
 
 
+def test_live_mono_streaming_mode(tmp_path):
+    """--streaming routes the volume through the host-streaming manager
+    (tsdf/streaming.py; exactness is unit-tested in test_streaming.py — this
+    proves the CLI wiring end to end, incl. the assembled-mesh save path)."""
+    r = run_script("live_mono.py", *QUICK, "--frames", "4",
+                   "--voxel", "0.02", "--streaming",
+                   "--output", str(tmp_path))
+    assert "streaming: reload<" in r.stdout + r.stderr
+    names = os.listdir(str(tmp_path))
+    assert any("mesh" in n for n in names), names
+
+
 def test_live_mono_serve_mode(tmp_path):
     """--serve runs the live loop against the browser viewer (HTTP server in
     place of the Open3D window; endpoint behavior is unit-tested in

@@ -1,0 +1,190 @@
+"""Host streaming (tsdf/streaming.py): unbounded scenes on a fixed pool.
+
+The reference's ScalableTSDFVolume grows without bound (CreateMesh.py:
+300-336); the fixed HBM pool here needs eviction to match that scale. The
+contract under test: a long scan that OVERFLOWS the plain fixed pool runs
+overflow-free through StreamingTSDF, and its assembled mesh (live +
+frozen caches) is BIT-IDENTICAL to extracting one infinite pool that saw
+the same frames — including after evict -> revisit -> reload round trips.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from azurekinect3dreconstruction_tpu.config import TSDFConfig
+from azurekinect3dreconstruction_tpu.core.camera import Intrinsics, pixel_rays
+from azurekinect3dreconstruction_tpu.tsdf import volume as tv
+from azurekinect3dreconstruction_tpu.tsdf.marching_cubes import extract_mesh
+from azurekinect3dreconstruction_tpu.tsdf.streaming import (
+    StreamingTSDF,
+    pack_np,
+    unpack_np,
+)
+
+SMALL = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, block_resolution=8,
+                   block_capacity=256, hash_capacity=1024)
+BIG = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, block_resolution=8,
+                 block_capacity=4096, hash_capacity=16384)
+
+
+@pytest.fixture(scope="module")
+def corridor():
+    """A textured wall 1 m in front of a camera translating along +x: every
+    frame allocates a fresh column of blocks, painting an arbitrarily long
+    corridor — the workload the reference's unbounded volume absorbs and a
+    fixed pool cannot."""
+    intr = Intrinsics.azure_kinect_depth_nfov().scaled(0.25)
+    rays = pixel_rays(intr)
+    h, w = intr.height, intr.width
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+
+    def frame(x_cam):
+        # mild depth relief so the surface is not a single flat plane
+        d = 0.6 + 0.03 * np.sin(0.2 * (xx + 37.0 * x_cam)) * np.sin(0.15 * yy)
+        c = np.stack([0.5 + 0.5 * np.sin(0.05 * xx + x_cam),
+                      np.full_like(d, 0.3),
+                      0.5 + 0.5 * np.cos(0.07 * yy)], axis=-1)
+        T = np.eye(4)
+        T[0, 3] = x_cam
+        return d.astype(np.float32), c.astype(np.float32), T
+
+    return intr, rays, frame
+
+
+def _integrate_all(cfg, frames, intr, rays):
+    vol = tv.create(cfg)
+    for d, c, T in frames:
+        vol = tv.integrate_frame(vol, d, c, rays, T, intr, cfg,
+                                 stride=2, backend="xla")
+    return vol
+
+
+def _sorted_soup(verts, cols):
+    """Canonical order for triangle soups: triangles as (9 xyz + 9 rgb)
+    rows, lexsorted — slot order is run-dependent, geometry is not."""
+    t = np.concatenate([verts.reshape(-1, 9), cols.reshape(-1, 9)], axis=1)
+    return t[np.lexsort(t.T[::-1])]
+
+
+def _stream_mesh_sorted(sv):
+    m = sv.extract_mesh()
+    return _sorted_soup(m.vertices.reshape(-1, 3, 3),
+                        m.vertex_colors.reshape(-1, 3, 3))
+
+
+def _full_mesh_sorted(vol, cfg):
+    m = extract_mesh(vol, cfg, max_cells=1 << 15, max_tris=1 << 17)
+    nt = int(m.num_triangles)
+    return _sorted_soup(m.vertices.reshape(-1, 3, 3)[:nt],
+                        m.vertex_colors.reshape(-1, 3, 3)[:nt])
+
+
+def test_pack_np_matches_device_pack():
+    from azurekinect3dreconstruction_tpu.tsdf import hash as vhash
+
+    c = np.array([[0, 0, 0], [1, -2, 3], [-511, 510, -1], [17, -400, 255]],
+                 np.int32)
+    np.testing.assert_array_equal(pack_np(c),
+                                  np.asarray(vhash.pack_key(jnp.asarray(c))))
+    np.testing.assert_array_equal(unpack_np(pack_np(c)), c)
+
+
+def test_long_scan_overflows_plain_pool(corridor):
+    """The workload must actually exceed the fixed pool — otherwise the
+    streaming assertions below prove nothing."""
+    intr, rays, frame = corridor
+    frames = [frame(0.04 * i) for i in range(80)]
+    vol = _integrate_all(SMALL, frames, intr, rays)
+    assert bool(vol.overflow)
+    assert int(vol.n_blocks) == SMALL.block_capacity - 1  # trash row reserved
+
+
+def test_streaming_scan_no_overflow_and_exact_mesh(corridor):
+    intr, rays, frame = corridor
+    frames = [frame(0.04 * i) for i in range(80)]
+    sv = StreamingTSDF(SMALL, evict_dist=1.4, reload_dist=1.1,
+                       high_water=0.75, check_interval=4,
+                       max_cells=1 << 14, max_tris=1 << 16)
+    for d, c, T in frames:
+        sv.integrate_frame(d, c, rays, T, intr, backend="xla")
+    assert not bool(sv.vol.overflow)
+    assert sv.n_evictions > 0
+    assert sv.n_stored > 0
+    assert sv.n_frozen >= sv.n_stored  # every stored block is frozen
+
+    ref = _integrate_all(BIG, frames, intr, rays)
+    got = _stream_mesh_sorted(sv)
+    want = _full_mesh_sorted(ref, BIG)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_revisit_reloads_and_stays_exact(corridor):
+    """Scan right 3.16 m, return to the start, keep integrating: the stored
+    blocks must stream back in (bit-exact restore), unfreeze, and the final
+    mesh must still equal the infinite-pool run of the same frames.
+
+    Policy arithmetic (the contract the manager documents): integration
+    reach here is 0.92 m (measured: 0.6 m wall + trunc + block diagonal),
+    camera covers 0.05 * 4 = 0.2 m per check interval, so reload_dist must
+    exceed 0.92 + 0.2 — walking back faster than that re-integrates
+    still-frozen blocks and the frozen caches go stale by design."""
+    intr, rays, frame = corridor
+    xs = [0.04 * i for i in range(80)]              # out to 3.16 m
+    xs += [3.16 - 0.05 * i for i in range(1, 64)]   # walk back to 0.01
+    xs += [0.0, 0.02, 0.04, 0.06]                   # re-integrate the start
+    frames = [frame(x) for x in xs]
+    sv = StreamingTSDF(SMALL, evict_dist=1.45, reload_dist=1.2,
+                       high_water=0.75, check_interval=4,
+                       max_cells=1 << 14, max_tris=1 << 16)
+    for d, c, T in frames:
+        sv.integrate_frame(d, c, rays, T, intr, backend="xla")
+    assert not bool(sv.vol.overflow)
+    assert sv.n_evictions > 0
+    assert sv.n_reloads > 0
+
+    ref = _integrate_all(BIG, frames, intr, rays)
+    got = _stream_mesh_sorted(sv)
+    want = _full_mesh_sorted(ref, BIG)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_compact_preserves_volume_semantics(corridor):
+    """Device compaction with a shuffling permutation must preserve every
+    key -> voxel-data mapping (lookup through the rebuilt table)."""
+    from azurekinect3dreconstruction_tpu.tsdf.streaming import _compact
+
+    intr, rays, frame = corridor
+    frames = [frame(0.04 * i) for i in range(6)]
+    vol = _integrate_all(SMALL, frames, intr, rays)
+    n = int(vol.n_blocks)
+    assert n > 8
+    qpts = np.random.RandomState(0).uniform(-0.5, 1.4, (512, 3)).astype(
+        np.float32)
+    qpts[:, 2] += 0.6  # bias toward the wall
+    t0, w0 = (np.asarray(a) for a in tv.sample_tsdf(vol, qpts, SMALL))
+
+    perm = np.random.RandomState(1).permutation(n).astype(np.int32)
+    full = np.zeros(SMALL.block_capacity, np.int32)
+    full[:n] = perm
+    vol2 = _compact(vol, full, np.int32(n))
+    t1, w1 = (np.asarray(a) for a in tv.sample_tsdf(vol2, qpts, SMALL))
+    np.testing.assert_array_equal(t0, t1)
+    np.testing.assert_array_equal(w0, w1)
+    # freed rows (none here) aside, a second compaction dropping half the
+    # blocks keeps the survivors' data intact and marks the rest absent
+    keep = perm[: n // 2]
+    full2 = np.zeros(SMALL.block_capacity, np.int32)
+    full2[: len(keep)] = np.arange(len(keep))  # slots in vol2 order
+    # survivors = first half of vol2's prefix
+    vol3 = _compact(vol2, full2, np.int32(len(keep)))
+    t3, w3 = (np.asarray(a) for a in tv.sample_tsdf(vol3, qpts, SMALL))
+    kept_keys = set(pack_np(np.asarray(vol2.block_coords[: n // 2])).tolist())
+    qvox = np.floor(qpts / SMALL.voxel_size).astype(np.int64)
+    qblk = pack_np((qvox // SMALL.block_resolution).astype(np.int32))
+    in_kept = np.array([int(k) in kept_keys for k in qblk])
+    np.testing.assert_array_equal(t3[in_kept], t0[in_kept])
+    np.testing.assert_array_equal(w3[in_kept], w0[in_kept])
+    assert np.all(w3[~in_kept] == 0.0)
