@@ -71,13 +71,13 @@ class MonoOdometryTSDF:
         self.model_min_inliers = model_min_inliers
         self.worklist_size = worklist_size
         self.rays = pixel_rays(intrinsics)
-        self.volume = tsdf.create(self.cfg.tsdf)
         self.streaming = streaming
-        self._stream_n = 0
         if streaming is not None:
             assert streaming.cfg == self.cfg.tsdf, \
                 "streaming manager must share the pipeline's TSDFConfig"
-            streaming.vol = self.volume  # one pool, owned by the pipeline
+            self.volume = streaming.vol  # adopt: ONE pool ever exists
+        else:
+            self.volume = tsdf.create(self.cfg.tsdf)
         self._T_dev = jnp.eye(4, dtype=jnp.float32)
         self._traj_dev = [self._T_dev]
         self._fits_dev = []  # device fitness scalars, one per tracked frame
@@ -121,11 +121,11 @@ class MonoOdometryTSDF:
 
     def reset(self) -> None:
         """The reference's 'C'-key volume reset (scene change)."""
-        self.volume = tsdf.reset(self.cfg.tsdf)
         if self.streaming is not None:
-            self.streaming.reset_state()
-            self.streaming.vol = self.volume
-            self._stream_n = 0
+            self.streaming.reset_state()  # one fresh pool, adopted below
+            self.volume = self.streaming.vol
+        else:
+            self.volume = tsdf.reset(self.cfg.tsdf)
         self._T_dev = jnp.eye(4, dtype=jnp.float32)
         self._traj_dev = [self._T_dev]
         self._fits_dev = []
@@ -237,14 +237,13 @@ class MonoOdometryTSDF:
         self._traj_dev.append(self._T_dev)
         self.frame_index += 1
         if self.streaming is not None:
-            self._stream_n += 1
-            if self._stream_n >= self.streaming.check_interval:
-                self._stream_n = 0
-                # one pose sync per tick; the manager's own host syncs run
-                # at eviction/reload cadence, not per frame
-                with self.telemetry.time_block("streaming"):
-                    self.streaming.vol = self.volume
-                    self.streaming.tick(self.T_world_cam[:3, 3])
+            # the manager owns the interval counter (one source of truth);
+            # the pose lambda evaluates only when a tick actually runs, so
+            # non-tick frames stay fully sync-free
+            with self.telemetry.time_block("streaming"):
+                self.streaming.vol = self.volume
+                if self.streaming.maybe_tick(
+                        lambda: self.T_world_cam[:3, 3]):
                     self.volume = self.streaming.vol
         if (self.tracking == "frame_to_model"
                 and self.frame_index % self.model_refine_interval == 0):
@@ -321,7 +320,14 @@ class MonoOdometryTSDF:
         with self.telemetry.time_block("extract"):
             if self.streaming is not None:
                 self.streaming.vol = self.volume
-                mesh = self.streaming.extract_mesh()
+                # budgets route through (they only grow); auto_grow is the
+                # manager's behavior anyway — unknown knobs must not be
+                # dropped silently
+                known = {"max_cells", "max_tris", "auto_grow"}
+                assert set(kw) <= known, f"unsupported with streaming: {kw}"
+                mesh = self.streaming.extract_mesh(
+                    max_cells=kw.get("max_cells"),
+                    max_tris=kw.get("max_tris"))
                 self.volume = self.streaming.vol  # refresh may have reloaded
                 return mesh
             return mc.extract_mesh(self.volume, self.cfg.tsdf, **kw)

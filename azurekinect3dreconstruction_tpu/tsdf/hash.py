@@ -48,6 +48,28 @@ def pack_key(coords):
     return (c[..., 0] | (c[..., 1] << _COORD_BITS) | (c[..., 2] << (2 * _COORD_BITS)))
 
 
+def pack_key_np(coords):
+    """Numpy mirror of :func:`pack_key` for host-side bookkeeping (the
+    incremental extractor and the streaming manager build selections on
+    host) — one definition so the packings cannot drift."""
+    import numpy as np
+
+    c = np.asarray(coords).astype(np.int64) + _COORD_OFFSET
+    return (c[..., 0] | (c[..., 1] << _COORD_BITS)
+            | (c[..., 2] << (2 * _COORD_BITS))).astype(np.int32)
+
+
+def unpack_key_np(keys):
+    """Numpy mirror of :func:`unpack_key`."""
+    import numpy as np
+
+    k = np.asarray(keys).astype(np.int64)
+    return np.stack([(k & _COORD_MASK) - _COORD_OFFSET,
+                     ((k >> _COORD_BITS) & _COORD_MASK) - _COORD_OFFSET,
+                     ((k >> (2 * _COORD_BITS)) & _COORD_MASK) - _COORD_OFFSET],
+                    axis=-1).astype(np.int32)
+
+
 def unpack_key(keys):
     """Packed int32 -> (..., 3) block coords (EMPTY maps to garbage; mask it)."""
     k = jnp.asarray(keys, jnp.int32)

@@ -295,19 +295,9 @@ class IncrementalExtractor:
                 use_compact = 2 * ns < nb
             if use_compact:
                 Es = _sel_bucket(ns, sel_cap)
-                pool2c = np.full(nb, -1, np.int32)
-                pool2c[sel_slots] = np.arange(ns, dtype=np.int32)
-                nsl2 = self._find(
-                    _pack_np(coords[sel_slots][:, None, :]
-                             + _CORNERS[None]).reshape(-1), nb)
-                nbr_c = np.where(nsl2 >= 0, pool2c[np.maximum(nsl2, 0)],
-                                 -1).reshape(ns, 8).astype(np.int32)
-                sel = np.full(Es, -1, np.int32)
-                sel[:ns] = sel_slots
-                nbr_pad = np.full((Es, 8), -1, np.int32)
-                nbr_pad[:ns] = nbr_c
-                emit_c = np.zeros(Es, bool)
-                emit_c[:ns] = np.isin(sel_slots, emit_idx, assume_unique=True)
+                sel, nbr_pad, emit_c = mc.build_compact_selection(
+                    lambda w: self._find(w, nb), nb, sel_slots, emit_idx,
+                    coords, Es, pack=_pack_np)
                 kw = dict(sel=jnp.asarray(sel), nbr_sel=jnp.asarray(nbr_pad),
                           emit_mask=jnp.asarray(emit_c))
                 budgets = ("c_cells", "c_tris")

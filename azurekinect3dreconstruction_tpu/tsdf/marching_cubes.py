@@ -471,6 +471,38 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
                            return_encoding=return_encoding)
 
 
+def build_compact_selection(find, n_live: int, sel_slots, emit_slots,
+                            coords, Es: int, pack=None):
+    """Host-side arguments for the COMPACT form of ``extract_mesh_arrays``
+    (one definition shared by tsdf.incremental and tsdf.streaming — the
+    -1-padding and searchsorted-clamp subtleties must not drift apart).
+
+    ``find``: callable mapping packed keys -> pool slots (-1 absent);
+    ``pack``: the key packing ``find``'s index was built with (callers keep
+    their own — incremental's int64 form vs the hash module's int32 form —
+    so it must travel with ``find``; default hash.pack_key_np);
+    ``sel_slots``: the unique pool slots to select (emitted blocks + their
+    alive positive-corner suppliers); ``emit_slots``: the subset that emits
+    triangles; ``coords``: (n_live, 3) alive block coords; ``Es``: padded
+    selection bucket. Returns (sel (Es,), nbr_sel (Es, 8), emit (Es,))."""
+    if pack is None:
+        pack = vhash.pack_key_np
+    ns = len(sel_slots)
+    pool2c = np.full(n_live, -1, np.int32)
+    pool2c[sel_slots] = np.arange(ns, dtype=np.int32)
+    nsl = find(pack(
+        coords[sel_slots][:, None, :] + _CORNERS[None]).reshape(-1))
+    nbr_c = np.where(nsl >= 0, pool2c[np.maximum(nsl, 0)], -1
+                     ).reshape(ns, 8).astype(np.int32)
+    sel = np.full(Es, -1, np.int32)
+    sel[:ns] = sel_slots
+    nbr_pad = np.full((Es, 8), -1, np.int32)
+    nbr_pad[:ns] = nbr_c
+    emit = np.zeros(Es, bool)
+    emit[:ns] = np.isin(sel_slots, emit_slots, assume_unique=True)
+    return sel, nbr_pad, emit
+
+
 _TRIANGLE_IDX_CACHE = {}
 
 

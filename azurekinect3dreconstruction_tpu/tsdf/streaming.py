@@ -45,9 +45,13 @@ the camera can integrate into them again. ``tick`` runs the policy every
 ``check_interval`` frames; the camera must not cover
 ``reload_dist - integration reach`` meters within one interval.
 
-The sticky ``vol.overflow`` flag stays meaningful: it now fires only when
-the WORKING SET (blocks within evict_dist) itself exceeds the pool, which
-no streaming scheme can fix without a bigger pool.
+The sticky ``vol.overflow`` flag stays meaningful: with enough headroom it
+fires only when the WORKING SET (blocks within evict_dist) itself exceeds
+the pool, which no streaming scheme can fix without a bigger pool. Since
+eviction runs at tick cadence, size the headroom accordingly:
+``(1 - high_water) * block_capacity`` must exceed the blocks a burst of
+``check_interval`` frames can allocate (tens per frame in steady scanning;
+``allocate``'s dedup_budget caps the absolute worst case).
 """
 
 from __future__ import annotations
@@ -71,24 +75,10 @@ from azurekinect3dreconstruction_tpu.utils.telemetry import log_warning
 
 _CORNERS = np.asarray(mt.CORNER_OFFSETS)  # (8, 3); [0] = self, [1:] positive
 
-_COORD_OFFSET = 512  # mirrors hash._COORD_OFFSET (packing must match)
-_COORD_BITS = 10
-
-
-def pack_np(coords: np.ndarray) -> np.ndarray:
-    """Numpy mirror of hash.pack_key (host-side key math, no device)."""
-    c = coords.astype(np.int64) + _COORD_OFFSET
-    return (c[..., 0] | (c[..., 1] << _COORD_BITS)
-            | (c[..., 2] << (2 * _COORD_BITS))).astype(np.int32)
-
-
-def unpack_np(keys: np.ndarray) -> np.ndarray:
-    k = keys.astype(np.int64)
-    m = (1 << _COORD_BITS) - 1
-    return np.stack([(k & m) - _COORD_OFFSET,
-                     ((k >> _COORD_BITS) & m) - _COORD_OFFSET,
-                     ((k >> (2 * _COORD_BITS)) & m) - _COORD_OFFSET],
-                    axis=-1).astype(np.int32)
+# host-side key math — the SAME definition the device hash uses (hash.py),
+# so the packings cannot drift
+pack_np = vhash.pack_key_np
+unpack_np = vhash.unpack_key_np
 
 
 def _bucket(n: int, cap: int, lo: int = 64) -> int:
@@ -212,10 +202,14 @@ class StreamingTSDF:
     def __init__(self, cfg: TSDFConfig, evict_dist: float,
                  reload_dist: float, high_water: float = 0.85,
                  check_interval: int = 8,
-                 max_cells: int = 65536, max_tris: int = 131072):
+                 max_cells: int = 65536, max_tris: int = 131072,
+                 vol: Optional[TSDFVolume] = None):
+        """``vol``: adopt an existing pool instead of allocating one — the
+        pipeline wiring passes its own volume so only ONE pool ever exists
+        (a second create would transiently double HBM)."""
         assert evict_dist > reload_dist > 0, (evict_dist, reload_dist)
         self.cfg = cfg
-        self.vol = tsdf_volume.create(cfg)
+        self.vol = tsdf_volume.create(cfg) if vol is None else vol
         self.evict_dist = float(evict_dist)
         self.reload_dist = float(reload_dist)
         self.high_water = int(high_water * cfg.block_capacity)
@@ -284,10 +278,19 @@ class StreamingTSDF:
         self.vol = tsdf_volume.integrate_frame(
             self.vol, depth, color, rays, T_world_cam, intr, self.cfg,
             stride=stride, backend=backend)
+        self.maybe_tick(lambda: np.asarray(T_world_cam, np.float64)[:3, 3])
+
+    def maybe_tick(self, cam_pos) -> bool:
+        """Count one frame; run :meth:`tick` when the interval elapses.
+        ``cam_pos`` may be a callable (evaluated only when the tick actually
+        runs — lets zero-sync pipelines defer their pose pull). The single
+        source of the interval counter: external integrators (e.g.
+        MonoOdometryTSDF) call this instead of keeping their own."""
         self._since_check += 1
-        if self._since_check >= self.check_interval:
-            pos = np.asarray(T_world_cam, np.float64)[:3, 3]
-            self.tick(pos)
+        if self._since_check < self.check_interval:
+            return False
+        self.tick(cam_pos() if callable(cam_pos) else cam_pos)
+        return True
 
     # -- policy -------------------------------------------------------------
 
@@ -390,12 +393,26 @@ class StreamingTSDF:
                 break
             did = True
             self.n_stale_refreshes += 1
-            for k in stale:
-                self.soups.pop(k, None)
-                self._soup_env.pop(k, None)
             if need:
                 self._reload_keys(np.asarray(sorted(need), np.int32))
                 n, coords, cks = self._pull_state()
+            # unfreeze only where the suppliers actually came back: a
+            # pool-full reload DEFERS, and a stale soup kept frozen beats a
+            # hole in the mesh (retried next tick once eviction frees room)
+            deferred = 0
+            stale_set = set(stale)
+            stale_rows = {int(k): kk[i] for i, k in enumerate(fkeys)
+                          if int(k) in stale_set}
+            for k in stale:
+                if any(int(c) in self.store for c in stale_rows[k]):
+                    deferred += 1
+                    continue
+                self.soups.pop(k, None)
+                self._soup_env.pop(k, None)
+            if deferred:
+                log_warning(f"streaming: {deferred} invalidated frozen "
+                            "caches kept (pool full; reload deferred)")
+                break
         return n, coords, cks, did
 
     def _block_dist(self, coords: np.ndarray, cam: np.ndarray) -> np.ndarray:
@@ -518,18 +535,8 @@ class StreamingTSDF:
         sel_slots = np.unique(nsl[nsl >= 0])
         ns = len(sel_slots)
         Es = _bucket(ns, self.cfg.block_capacity)
-        pool2c = np.full(n, -1, np.int32)
-        pool2c[sel_slots] = np.arange(ns, dtype=np.int32)
-        nsl2 = find(pack_np(live[sel_slots][:, None, :] + _CORNERS[None]
-                            ).reshape(-1))
-        nbr_c = np.where(nsl2 >= 0, pool2c[np.maximum(nsl2, 0)], -1
-                         ).reshape(ns, 8).astype(np.int32)
-        sel = np.full(Es, -1, np.int32)
-        sel[:ns] = sel_slots
-        nbr_pad = np.full((Es, 8), -1, np.int32)
-        nbr_pad[:ns] = nbr_c
-        emit_c = np.zeros(Es, bool)
-        emit_c[:ns] = np.isin(sel_slots, emit_slots, assume_unique=True)
+        sel, nbr_pad, emit_c = mc.build_compact_selection(
+            find, n, sel_slots, emit_slots, live, Es)
 
         cells_bucket = _bucket(ns * (self.cfg.block_resolution ** 3) // 64,
                                self.max_cells, lo=1024) * 64
@@ -588,15 +595,24 @@ class StreamingTSDF:
 
     # -- extraction ---------------------------------------------------------
 
-    def extract_mesh(self) -> TriangleMeshHost:
+    def extract_mesh(self, max_cells: int = None,
+                     max_tris: int = None) -> TriangleMeshHost:
         """Full-scene triangle soup: live extraction of un-frozen blocks +
         the frozen caches. Bit-identical to extracting an infinite pool that
-        saw the same frames (policy contract above). Runs the stale-refresh
-        pass first so frames integrated since the last tick (including any
-        policy-race integration into frozen blocks) are always reflected."""
+        saw the same frames (policy contract above). Runs the supplier rule
+        and the stale-refresh pass first so frames integrated since the last
+        tick (including any policy-race integration into frozen blocks or
+        new blocks allocated beside stored ones) are always reflected.
+        ``max_cells``/``max_tris`` raise the live-extraction budgets for
+        this and later calls (they only ever grow — one compile per rung)."""
+        if max_cells:
+            self.max_cells = max(self.max_cells, max_cells)
+        if max_tris:
+            self.max_tris = max(self.max_tris, max_tris)
         n, coords, cks = self._pull_state()
-        n, coords, cks, refreshed = self._refresh_frozen(n, coords, cks)
-        if refreshed:
+        n, coords, cks, r2 = self._supply_changed_live(n, coords, cks)
+        n, coords, cks, r3 = self._refresh_frozen(n, coords, cks)
+        if r2 or r3:
             self._unfreeze_sweep(pack_np(coords[:n]))
         parts_v = [v for v, _ in self.soups.values()]
         parts_c = [c for _, c in self.soups.values()]

@@ -83,6 +83,19 @@ def main():
                    depth_trunc=max(cam_cfg.depth_trunc + trunc_d, 0.5))})
         log_info(f"depth_scale {pipe.cfg.camera.depth_scale:.0f} "
                  f"depth_trunc {pipe.cfg.camera.depth_trunc:.2f}")
+        if streaming is not None:
+            # the streaming distances were derived from the STARTUP
+            # depth_trunc; raising it extends integration reach past the
+            # reload ring, which degrades frozen caches to merge-and-refresh
+            # churn (tsdf/streaming.py policy contract)
+            reach = (1.45 * pipe.cfg.camera.depth_trunc
+                     + pipe.cfg.tsdf.sdf_trunc
+                     + 1.8 * pipe.cfg.tsdf.block_size)
+            if reach > streaming.reload_dist:
+                log_info(f"WARNING: depth_trunc raises integration reach to "
+                         f"{reach:.2f} m > streaming reload ring "
+                         f"{streaming.reload_dist:.2f} m — restart with the "
+                         f"larger truncation to re-derive safe distances")
 
     viewer.register_key("=", lambda: tune(scale_d=+100), "depth scale +100")
     viewer.register_key("-", lambda: tune(scale_d=-100), "depth scale -100")
@@ -106,6 +119,10 @@ def main():
         pipe.process_frame(depth, color)
         if i % pipe.cfg.vis_update_interval == 0 and not viewer.headless:
             if state["mesh_mode"]:
+                # with --streaming, this live view shows the RESIDENT region
+                # (evicted far geometry drops out of the preview and each
+                # eviction re-bases the incremental cache); 'S' saves the
+                # full assembled scene via pipe.extract_mesh()
                 viewer.update_mesh("surface", inc.update(pipe.volume))
             else:
                 pts, cols = pipe.extract_point_cloud(max_points=200000)

@@ -151,6 +151,32 @@ def test_streaming_revisit_reloads_and_stays_exact(corridor):
     np.testing.assert_array_equal(got, want)
 
 
+def test_reload_defers_when_pool_full(corridor):
+    """A reload into a full pool must DEFER (payload back in the store,
+    warning logged) — never silently lose the block (review finding r3)."""
+    cfg = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, block_resolution=8,
+                     block_capacity=64, hash_capacity=256)
+    sv = StreamingTSDF(cfg, evict_dist=1.4, reload_dist=1.1, high_water=0.9)
+    intr, rays, frame = corridor
+    d, c, T = frame(0.0)
+    from azurekinect3dreconstruction_tpu.tsdf import volume as tvol
+
+    sv.vol = tvol.integrate_frame(sv.vol, d, c, rays, T, intr, cfg,
+                                  stride=2, backend="xla")
+    assert int(sv.vol.n_blocks) == cfg.block_capacity - 1  # full (trash row)
+    s = cfg.block_resolution ** 3 // 128
+    key = int(pack_np(np.array([[50, 50, 50]], np.int32))[0])
+    payload = (np.ones((s, 128), np.float32), np.ones((s, 128), np.float32),
+               np.zeros((3, s, 128), np.float32),
+               np.array([50, 50, 50], np.int32))
+    sv.store[key] = payload
+    sv._stored_cks[key] = 123
+    sv._reload_keys(np.array([key], np.int32))
+    assert key in sv.store, "deferred payload must survive in the store"
+    assert sv._stored_cks[key] == 123
+    np.testing.assert_array_equal(sv.store[key][0], payload[0])
+
+
 def test_compact_preserves_volume_semantics(corridor):
     """Device compaction with a shuffling permutation must preserve every
     key -> voxel-data mapping (lookup through the rebuilt table)."""
