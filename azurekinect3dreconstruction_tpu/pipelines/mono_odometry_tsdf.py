@@ -333,9 +333,12 @@ class MonoOdometryTSDF:
             return mc.extract_mesh(self.volume, self.cfg.tsdf, **kw)
 
     def extract_point_cloud(self, **kw):
-        """Surface point samples of the LIVE volume (with ``streaming`` set,
-        evicted far regions are not included — use :meth:`extract_mesh`,
-        which assembles them, for full-scene exports)."""
+        """Full-scene surface point samples (with ``streaming`` set, the
+        manager folds in its host-stored blocks, so evicted far regions are
+        included too)."""
+        if self.streaming is not None:
+            self.streaming.vol = self.volume
+            return self.streaming.extract_point_cloud(**kw)
         return tsdf.extract_point_cloud(self.volume, self.cfg.tsdf, **kw)
 
 

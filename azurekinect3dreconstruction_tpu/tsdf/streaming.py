@@ -642,6 +642,35 @@ class StreamingTSDF:
         return TriangleMeshHost(vertices=verts, triangles=tris,
                                 vertex_colors=cols)
 
+    def extract_point_cloud(self, max_points: Optional[int] = None):
+        """Full-scene surface point samples: the live volume's crossings
+        plus the SAME numpy crossing math over the host-stored (evicted)
+        blocks — block data is identical either side of the frontier, so
+        the union equals an infinite-pool extraction of this API (which is
+        interior-crossings-only by contract either way)."""
+        pts, cols = tsdf_volume.extract_point_cloud(self.vol, self.cfg)
+        if self.store:
+            R = self.cfg.block_resolution
+            K = len(self.store)
+            t4 = np.empty((K, R, R, R), np.float32)
+            w4 = np.empty((K, R, R, R), np.float32)
+            c5 = np.empty((K, R, R, R, 3), np.float32)
+            crd = np.empty((K, 3), np.int32)
+            for i, (tK, wK, cK, co) in enumerate(self.store.values()):
+                t4[i] = tK.reshape(R, R, R)
+                w4[i] = wK.reshape(R, R, R)
+                c5[i] = cK.reshape(3, R * R * R).T.reshape(R, R, R, 3)
+                crd[i] = co
+            sp, sc = tsdf_volume.host_interior_crossings(
+                t4, w4, c5, crd, self.cfg)
+            pts = np.concatenate([pts, sp])
+            cols = np.concatenate([cols, sc])
+        if max_points is not None and pts.shape[0] > max_points:
+            sel = np.random.RandomState(0).choice(pts.shape[0], max_points,
+                                                  replace=False)
+            pts, cols = pts[sel], cols[sel]
+        return pts, cols
+
     # -- stats ---------------------------------------------------------------
 
     @property

@@ -285,7 +285,22 @@ def extract_point_cloud(vol: TSDFVolume, cfg: TSDFConfig, max_points: Optional[i
     weight = onp.asarray(vol.weight[:n]).reshape(n, R, R, R)
     color = onp.asarray(vol.color[:n]).reshape(n, 3, R * R * R).transpose(0, 2, 1).reshape(n, R, R, R, 3)
     coords = onp.asarray(vol.block_coords[:n])
+    pts, cols = host_interior_crossings(tsdf, weight, color, coords, cfg)
+    if max_points is not None and pts.shape[0] > max_points:
+        sel = onp.random.RandomState(0).choice(pts.shape[0], max_points, replace=False)
+        pts, cols = pts[sel], cols[sel]
+    return pts, cols
 
+
+def host_interior_crossings(tsdf, weight, color, coords, cfg: TSDFConfig):
+    """The numpy crossing math behind :func:`extract_point_cloud`, on
+    already-pulled per-block arrays — shared with the streaming manager,
+    which runs it over its HOST-stored (evicted) blocks so full-scene cloud
+    exports include them. tsdf/weight: (n, R, R, R); color: (n, R, R, R, 3);
+    coords: (n, 3)."""
+    import numpy as onp
+
+    R = cfg.block_resolution
     pts_out = []
     col_out = []
     # host-side: numpy vectorized per axis (block-interior crossings only; the
@@ -314,12 +329,7 @@ def extract_point_cloud(vol: TSDFVolume, cfg: TSDFConfig, max_points: Optional[i
 
     if not pts_out:
         return onp.zeros((0, 3), onp.float32), onp.zeros((0, 3), onp.float32)
-    pts = onp.concatenate(pts_out)
-    cols = onp.concatenate(col_out)
-    if max_points is not None and pts.shape[0] > max_points:
-        sel = onp.random.RandomState(0).choice(pts.shape[0], max_points, replace=False)
-        pts, cols = pts[sel], cols[sel]
-    return pts, cols
+    return onp.concatenate(pts_out), onp.concatenate(col_out)
 
 
 def memory_bytes(cfg: TSDFConfig) -> int:

@@ -119,6 +119,16 @@ def test_streaming_scan_no_overflow_and_exact_mesh(corridor):
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_array_equal(got, want)
 
+    # the point-cloud API must also cover the stored (evicted) region
+    gp, gc = sv.extract_point_cloud()
+    wp, wc = tv.extract_point_cloud(ref, BIG)
+    g = np.concatenate([gp, gc], axis=1)
+    w = np.concatenate([wp, wc], axis=1)
+    g = g[np.lexsort(g.T[::-1])]
+    w = w[np.lexsort(w.T[::-1])]
+    assert g.shape == w.shape, (g.shape, w.shape)
+    np.testing.assert_array_equal(g, w)
+
 
 def test_streaming_revisit_reloads_and_stays_exact(corridor):
     """Scan right 3.16 m, return to the start, keep integrating: the stored
