@@ -471,6 +471,52 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
                            return_encoding=return_encoding)
 
 
+@partial(jax.jit, static_argnames=("cfg", "extract_blocks"))
+def count_active_bricks(vol: TSDFVolume, cfg: TSDFConfig,
+                        extract_blocks: int):
+    """Number of 64-cell groups stage B would compact (stage-A case math
+    only — ins/val corner views, no value/color planes). Callers use it to
+    FIT ``max_cells`` to the scene instead of over-provisioning: most of
+    stage C/D's cost scales with the padded worklist (the D_map scatter is
+    ~4.3 ns per BUDGETED cell, active or not — docs/PERF.md), so a snug
+    budget measured 92.9 -> 76.9 ms on the 738k-tri bench scene. One cheap
+    extra dispatch (~6 ms); bench.py and long-lived pipelines re-fit when
+    the scene grows past the budgeted rung."""
+    R = cfg.block_resolution
+    C3 = R * R * R
+    E = min(extract_blocks, vol.tsdf.shape[0])
+    t2 = vol.tsdf[:E].reshape(E, C3)
+    w2 = vol.weight[:E].reshape(E, C3)
+    coords = vol.block_coords[:E]
+    alive = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0)[:, 0] < vol.n_blocks
+    nbr = _neighbor_slots(vol.table, coords)
+    nbr = jnp.where(nbr < E, nbr, -1)
+    inside0 = (t2 < 0.0) & (w2 > 0.0) & alive[:, None]
+    valid0 = (w2 > 0.0) & alive[:, None]
+
+    def nbr_field(base, code):
+        s = nbr[:, code]
+        ok = (s >= 0) & alive
+        return jnp.where(ok[:, None], base[jnp.where(ok, s, 0)], False)
+
+    ins_f = {0: inside0}
+    val_f = {0: valid0}
+    for c in range(1, 8):
+        ins_f[c] = nbr_field(inside0, c)
+        val_f[c] = nbr_field(valid0, c)
+    ins_v = _corner_views(ins_f, R)
+    val_v = _corner_views(val_f, R)
+    case = jnp.zeros((E, C3), jnp.int32)
+    all_valid = jnp.ones((E, C3), jnp.bool_)
+    for k in range(8):
+        key = tuple(mt.CORNER_OFFSETS[k])
+        case = case | (ins_v[key].astype(jnp.int32) << k)
+        all_valid = all_valid & val_v[key]
+    casem = jnp.where(all_valid & (case != 255), case, 0)
+    B3 = min(64, C3)
+    return jnp.any(casem.reshape(E * (C3 // B3), B3) != 0, axis=1).sum()
+
+
 def build_compact_selection(find, n_live: int, sel_slots, emit_slots,
                             coords, Es: int, pack=None):
     """Host-side arguments for the COMPACT form of ``extract_mesh_arrays``
@@ -508,8 +554,11 @@ _TRIANGLE_IDX_CACHE = {}
 
 def extract_mesh(vol: TSDFVolume, cfg: TSDFConfig, max_cells: int = 65536,
                  max_tris: int = 131072, auto_grow: bool = True) -> TriangleMesh:
-    """Extract a triangle-soup mesh; grows static budgets (x4, recompile)
-    if they overflow and ``auto_grow``.
+    """Extract a triangle-soup mesh; grows static budgets (x2, recompile)
+    if they overflow and ``auto_grow`` (x2 not x4: stage C/D cost scales
+    with the PADDED budgets — see count_active_bricks — so the tighter
+    ladder halves the average over-provisioning at the price of one more
+    cached compile rung).
 
     Device outputs are tri-minor (3, 3, T) to dodge lane padding; this host
     wrapper reorders them to the conventional (3T, 3) soup (numpy leaves in
@@ -523,8 +572,8 @@ def extract_mesh(vol: TSDFVolume, cfg: TSDFConfig, max_cells: int = 65536,
         )
         if not (auto_grow and bool(overflow)):
             break
-        max_cells *= 4
-        max_tris *= 4
+        max_cells *= 2
+        max_tris *= 2
     # (vertex, xyz, tri) -> (tri, vertex, xyz) -> (3T, 3)
     verts = np.asarray(verts_t).transpose(2, 0, 1).reshape(max_tris * 3, 3)
     vcols = np.asarray(vcols_t).transpose(2, 0, 1).reshape(max_tris * 3, 3)

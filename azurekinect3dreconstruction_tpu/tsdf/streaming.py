@@ -568,8 +568,8 @@ class StreamingTSDF:
                                          max_tris=max_tris, **kw)
             if not bool(out[3]):
                 break
-            max_cells *= 4
-            max_tris *= 4
+            max_cells *= 2
+            max_tris *= 2
             self.max_cells = max(self.max_cells, max_cells)
             self.max_tris = max(self.max_tris, max_tris)
         return out

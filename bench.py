@@ -132,8 +132,18 @@ def main():
 
     _mark("extraction")
     # ---- marching-cubes extraction (slope-timed) ----------------------------
-    mcells, mtris = 5242880, 786432  # max_cells budgets 64-cell groups
+    # FIT the cell budget to the scene: most of stage C/D scales with the
+    # PADDED worklist (the D_map scatter costs ~4.3 ns per budgeted cell,
+    # active or not). The fit's value depends on how oversized the static
+    # budget was: the 8-pose profiler scene (60k bricks) gained 92.9 ->
+    # 76.9 ms vs a 25%-oversized rung; THIS 64-pose scene has ~70k active
+    # bricks, so the old 5.24M-cell budget was only ~10% oversized and the
+    # fit buys ~3 ms. A production live loop amortizes the probe the same
+    # way (re-fit when the scene outgrows the rung); mtris stays snug.
+    mtris = 786432
     E = 4096 if n_blocks > 2048 else 2048
+    nbricks = int(mc.count_active_bricks(vol, cfg, extract_blocks=E))
+    mcells = max(1 << 16, ((nbricks * 9 // 8) + 4095) // 4096 * 4096 * 64)
 
     def extract():
         return mc.extract_mesh_arrays(vol, cfg, max_cells=mcells,

@@ -126,6 +126,29 @@ def test_overflow_flag_and_autogrow():
     assert int(mesh.num_triangles) == len(ref)
 
 
+def test_count_active_bricks_matches_overflow_boundary():
+    """count_active_bricks must agree EXACTLY with stage 1's own worklist:
+    a cell budget of count*64 fits, (count-1)*64 overflows — that is the
+    contract budget-fitting callers (bench.py) rely on."""
+    R = CFG.block_resolution
+    n = 3 * R
+    g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    field = np.minimum(
+        np.linalg.norm(g - n / 2.0, axis=0) - n / 4.0, 1.0) / 4.0
+    field = np.clip(field, -1.0, 1.0)
+    vol = build_volume_from_field(field, CFG)
+    E = mc.snap_extract_blocks(int(vol.n_blocks), CFG.block_capacity)
+    nb = int(mc.count_active_bricks(vol, CFG, extract_blocks=E))
+    assert nb > 2
+    *_r, ovf_fit = mc.extract_mesh_arrays(
+        vol, CFG, max_cells=nb * 64, max_tris=1 << 16, extract_blocks=E)
+    *_r2, ovf_tight = mc.extract_mesh_arrays(
+        vol, CFG, max_cells=(nb - 1) * 64, max_tris=1 << 16,
+        extract_blocks=E)
+    assert not bool(ovf_fit)
+    assert bool(ovf_tight)
+
+
 def test_weld_vertices_preserves_geometry():
     R = CFG.block_resolution
     n = 2 * R
