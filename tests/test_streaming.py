@@ -161,6 +161,91 @@ def test_streaming_revisit_reloads_and_stays_exact(corridor):
     np.testing.assert_array_equal(got, want)
 
 
+def test_streaming_reset_then_rescan_stays_exact(corridor):
+    """reset_state mid-scan (the 'C' key with store/soups populated) must
+    forget everything; a rescan afterwards matches a fresh infinite-pool
+    run of just the post-reset frames."""
+    intr, rays, frame = corridor
+    frames = [frame(0.04 * i) for i in range(60)]
+    sv = StreamingTSDF(SMALL, evict_dist=1.4, reload_dist=1.1,
+                       high_water=0.75, check_interval=4,
+                       max_cells=1 << 14, max_tris=1 << 16)
+    for d, c, T in frames:
+        sv.integrate_frame(d, c, rays, T, intr, backend="xla")
+    assert sv.n_stored > 0
+    sv.reset_state()
+    assert sv.n_stored == 0 and sv.n_frozen == 0
+    assert int(sv.vol.n_blocks) == 0
+    rescan = [frame(0.04 * i) for i in range(20)]
+    for d, c, T in rescan:
+        sv.integrate_frame(d, c, rays, T, intr, backend="xla")
+    ref = _integrate_all(BIG, rescan, intr, rays)
+    np.testing.assert_array_equal(_stream_mesh_sorted(sv),
+                                  _full_mesh_sorted(ref, BIG))
+
+
+def test_streaming_thrash_across_hysteresis_band(corridor):
+    """Oscillating across the reload/evict hysteresis band must not corrupt
+    geometry or leak state: repeated evict/reload cycles of the same blocks
+    end bit-exact, and every block is in exactly one of live/stored."""
+    intr, rays, frame = corridor
+    xs = [0.04 * i for i in range(70)]            # out to 2.76 m
+    for _ in range(3):  # oscillate deep enough to cross the reload ring of
+        #                 the evicted start region (stored blocks sit at
+        #                 x <= camera_at_first_eviction - ~1.2)
+        xs += [2.76 - 0.04 * i for i in range(1, 45)]  # back to 1.00
+        xs += [1.00 + 0.04 * i for i in range(1, 45)]  # forward to 2.76
+    frames = [frame(x) for x in xs]
+    sv = StreamingTSDF(SMALL, evict_dist=1.4, reload_dist=1.1,
+                       high_water=0.75, check_interval=4,
+                       max_cells=1 << 14, max_tris=1 << 16)
+    for d, c, T in frames:
+        sv.integrate_frame(d, c, rays, T, intr, backend="xla")
+    assert not bool(sv.vol.overflow)
+    assert sv.n_reloads >= 3
+    n = int(sv.vol.n_blocks)
+    live = set(pack_np(np.asarray(sv.vol.block_coords[:n])).tolist())
+    stored = set(sv.store.keys())
+    assert not (live & stored), "a block may not be live AND stored"
+    ref = _integrate_all(BIG, frames, intr, rays)
+    got = _stream_mesh_sorted(sv)
+    want = _full_mesh_sorted(ref, BIG)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_incremental_extractor_survives_streaming_compaction(corridor):
+    """live_mono --streaming (non-headless) runs IncrementalExtractor over
+    the streaming pipe's volume for the live preview: pool compaction must
+    read as a volume reset there (slot checksums shuffle), not crash or
+    serve stale spans — and its soup must equal a fresh full extraction of
+    the LIVE region."""
+    from azurekinect3dreconstruction_tpu.tsdf.incremental import (
+        IncrementalExtractor,
+    )
+
+    intr, rays, frame = corridor
+    sv = StreamingTSDF(SMALL, evict_dist=1.4, reload_dist=1.1,
+                       high_water=0.75, check_interval=4,
+                       max_cells=1 << 14, max_tris=1 << 16)
+    inc = IncrementalExtractor(SMALL, max_cells=1 << 14, max_tris=1 << 16)
+    for i in range(60):
+        d, c, T = frame(0.04 * i)
+        sv.integrate_frame(d, c, rays, T, intr, backend="xla")
+        if i % 4 == 0:
+            m = inc.update(sv.vol)
+    assert sv.n_evictions > 0
+    m = inc.update(sv.vol)
+    fresh = IncrementalExtractor(SMALL, max_cells=1 << 14,
+                                 max_tris=1 << 16).update(sv.vol)
+    got = _sorted_soup(m.vertices.reshape(-1, 3, 3),
+                       m.vertex_colors.reshape(-1, 3, 3))
+    want = _sorted_soup(fresh.vertices.reshape(-1, 3, 3),
+                        fresh.vertex_colors.reshape(-1, 3, 3))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_reload_defers_when_pool_full(corridor):
     """A reload into a full pool must DEFER (payload back in the store,
     warning logged) — never silently lose the block (review finding r3)."""
