@@ -31,8 +31,13 @@ def _enable_compilation_cache() -> None:
     """Persist compiled executables across processes (verified to work through
     the remote-TPU tunnel: the heavy kernels compile once per machine, not
     once per script run — the fused TSDF batch alone is ~12 s of compile).
-    Respects an explicit JAX_COMPILATION_CACHE_DIR / prior config."""
+    Respects an explicit JAX_COMPILATION_CACHE_DIR / prior config, and
+    embedding applications that manage their own JAX cache policy can opt
+    out of this import-time side effect entirely with
+    ``AZK3D_NO_CACHE_SETUP=1``."""
     try:
+        if _os.environ.get("AZK3D_NO_CACHE_SETUP"):
+            return
         if _jax.config.jax_compilation_cache_dir:
             return
         root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))

@@ -96,7 +96,10 @@ def _pack_pull(c, cells, fracs, edges, n_tris, overflow, ntb: int):
     replays stage 2's exact f32 expression, so positions stay BIT-exact:
 
     - rows 0-2: per-vertex edge frac — f32 BITS
-    - row 3: cell x | y<<16 (16-bit two's complement halves)
+    - row 3: cell x | y<<16 (16-bit two's complement halves; lossless by
+      construction — hash.pack_key bounds block coords to [-512, 512), so
+      cell coords live in [-512*R, 512*R) = [-8192, 8192) at R=16, well
+      inside the 16-bit range; the volume cannot address anything wider)
     - row 4: (cell z & 0xFFFF) | packed edge ids << 16 (3 x 4 bits)
     - rows 5-7: per-vertex rgb, u8-quantized and packed r<<16|g<<8|b
       (every consumer — the PLY writers, the preview renderer's u8
@@ -155,23 +158,17 @@ def _unpack_verts(packed: np.ndarray, nt: int, voxel_size: float):
 
 
 def _slice_bucket(n: int, cap: int) -> int:
-    """Round a triangle count up to a coarse bucket so the device-side
-    pre-transfer slice compiles once per bucket, not once per distinct
-    count (a fresh count per update would mean a fresh XLA compile per
-    frame — measured as the dominant incremental-update cost)."""
-    b = 4096
-    while b < n:
-        b *= 2
-    return min(b, cap)
+    """Triangle-count bucket for the device-side pre-transfer slice: one
+    compile per bucket, not per distinct count (a fresh count per update
+    would mean a fresh XLA compile per frame — measured as the dominant
+    incremental-update cost). Shared ladder: mc.pow2_bucket."""
+    return mc.pow2_bucket(n, cap, lo=4096)
 
 
 def _sel_bucket(n: int, cap: int) -> int:
     """Selection-row bucket for the compact extraction (same ladder as
     mc.EXTRACT_SIZES so compile counts stay bounded)."""
-    b = 256
-    while b < n:
-        b *= 2
-    return min(b, cap)
+    return mc.pow2_bucket(n, cap, lo=256)
 
 
 class IncrementalExtractor:
@@ -198,6 +195,7 @@ class IncrementalExtractor:
         self._keys_nb = -1  # nb the sorted-key cache below was built for
         self._ak_order: Optional[np.ndarray] = None
         self._ak_sorted: Optional[np.ndarray] = None
+        self._ak_coords: Optional[np.ndarray] = None  # coords it indexes
         self._last_nt = 0  # previous update's triangle count (pull bucket seed)
         self.last_touched = 0  # blocks re-extracted on the last update
         self.last_mode = "none"  # "compact" | "full" | "none" (observability)
@@ -214,18 +212,29 @@ class IncrementalExtractor:
         self._prev_nb = 0
         self._assembled = None
         self._keys_nb = -1
+        self._ak_coords = None
         self._last_nt = 0
 
     def _host_coords(self, coords_all: np.ndarray, nb: int) -> np.ndarray:
         """Sorted packed-key index over the alive block coords. The coords
         themselves ride the checksum transfer (no separate device pull —
         that cost a full extra tunnel round trip per pool growth, ~40 ms
-        measured); the key index is rebuilt only when the pool grew."""
-        if self._keys_nb != nb:
+        measured); the key index is rebuilt when the slot -> key mapping
+        changes AT ALL, not just when the pool grew: a streaming-volume
+        compaction can shuffle slots at CONSTANT nb (evict k, allocate k),
+        and a stale index would map keys to slots now holding different
+        blocks. The array compare is O(nb) host work against coords that
+        are already in hand — nothing next to the extraction it guards.
+        (Per-slot CONTENT changes need no rebuild logic: the change
+        checksum flags shuffled slots and the soup spans are keyed by
+        block, so a moved-but-unchanged block keeps serving its span.)"""
+        if self._keys_nb != nb or not np.array_equal(self._ak_coords,
+                                                     coords_all[:nb]):
             keys = _pack_np(coords_all[:nb])
             self._ak_order = np.argsort(keys)
             self._ak_sorted = keys[self._ak_order]
             self._keys_nb = nb
+            self._ak_coords = coords_all[:nb].copy()
         return coords_all[:nb]
 
     def _find(self, want: np.ndarray, nb: int):

@@ -70,6 +70,18 @@ _CORNERS = np.asarray(mt.CORNER_OFFSETS)  # (8, 3)
 EXTRACT_SIZES = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
 
+def pow2_bucket(n: int, cap: int = 0, lo: int = 64) -> int:
+    """Round ``n`` up a power-of-two ladder starting at ``lo``, clamped to
+    ``cap`` when given. One definition for every bucketed device-call shape
+    in the extraction stack (streaming + incremental): the ladder IS the
+    bounded-compile-count guarantee (each fresh shape is a ~400 ms compile
+    through the axon tunnel — docs/PERF.md)."""
+    b = lo
+    while b < n:
+        b *= 2
+    return min(b, cap) if cap else b
+
+
 def snap_extract_blocks(n_alive: int, pool_size: int) -> int:
     """Alive-prefix length snapped to the EXTRACT_SIZES ladder (one compile
     per rung instead of per block count), clamped to the pool."""

@@ -7,7 +7,10 @@ pool is a fixed-capacity HBM array (tsdf/volume.py) whose exhaustion sets a
 sticky overflow flag. This module closes that scale gap the way production
 voxel-hashing systems do (host streaming a la Niessner et al.: swap
 far-from-camera blocks out to host memory, swap them back on revisit), so a
-scan of ANY spatial extent runs in constant device memory.
+scan of any spatial extent runs in constant device memory — up to the
+coordinate space itself: hash.pack_key addresses block coords in
+[-512, 512)^3 (+-41 m from the origin at 8 cm blocks), which binds every
+volume in this framework, streamed or not.
 
 Mechanism (all fixed-shape, bucketed device calls):
 
@@ -81,14 +84,9 @@ pack_np = vhash.pack_key_np
 unpack_np = vhash.unpack_key_np
 
 
-def _bucket(n: int, cap: int, lo: int = 64) -> int:
-    """Pow2 size ladder: bounds the distinct compiled shapes of the bucketed
-    device calls (each fresh shape is a ~400 ms compile through the axon
-    tunnel — docs/PERF.md)."""
-    b = lo
-    while b < n:
-        b *= 2
-    return min(b, cap) if cap else b
+# pow2 size ladder shared with the incremental extractor (one definition:
+# the ladder controls the bounded-compile-count guarantee both document)
+_bucket = mc.pow2_bucket
 
 
 # ---------------------------------------------------------------------------
@@ -239,21 +237,27 @@ class StreamingTSDF:
         self.n_reloads = 0
         self.n_stale_refreshes = 0
 
+    @staticmethod
+    def integration_reach(cfg) -> float:
+        """Farthest block center a frame can touch, from a PipelineConfig:
+        max depth x the diagonal-FOV secant (~1.45 for the Kinect NFOV
+        corner rays) + the truncation band + one block diagonal. The ONE
+        definition of the policy-critical quantity — for_pipeline derives
+        the reload ring from it and live_mono re-checks it after runtime
+        depth-trunc retuning."""
+        return (1.45 * cfg.camera.depth_trunc + cfg.tsdf.sdf_trunc
+                + 1.8 * cfg.tsdf.block_size)
+
     @classmethod
     def for_pipeline(cls, cfg, high_water: float = 0.85,
                      check_interval: int = 8, margin: float = 0.5,
                      **kw) -> "StreamingTSDF":
-        """Safe distances derived from a ``PipelineConfig``: integration
-        reach = max depth x the diagonal-FOV secant (~1.45 for the Kinect
-        NFOV corner rays) + the truncation band + one block diagonal; the
-        reload ring sits ``margin`` meters beyond that (the camera must not
-        cover more than ``margin`` per check interval), eviction one more
-        meter out (hysteresis)."""
-        tsdf_cfg = cfg.tsdf
-        reach = (1.45 * cfg.camera.depth_trunc + tsdf_cfg.sdf_trunc
-                 + 1.8 * tsdf_cfg.block_size)
-        reload_dist = reach + margin
-        return cls(tsdf_cfg, evict_dist=reload_dist + 1.0,
+        """Safe distances derived from a ``PipelineConfig``: the reload
+        ring sits ``margin`` meters beyond :meth:`integration_reach` (the
+        camera must not cover more than ``margin`` per check interval),
+        eviction one more meter out (hysteresis)."""
+        reload_dist = cls.integration_reach(cfg) + margin
+        return cls(cfg.tsdf, evict_dist=reload_dist + 1.0,
                    reload_dist=reload_dist, high_water=high_water,
                    check_interval=check_interval, **kw)
 
@@ -544,10 +548,17 @@ class StreamingTSDF:
             min(cells_bucket, self.max_cells), self.max_tris,
             sel=jnp.asarray(sel), nbr_sel=jnp.asarray(nbr_pad),
             emit_mask=jnp.asarray(emit_c), return_cells=True)
+        # slice the pull to a bucketed triangle count: the full budget
+        # arrays are ~10+ MB through a 2-45 MB/s tunnel while a typical
+        # eviction emits a few-MB band (colors stay f32 — the frozen cache
+        # must remain bit-identical to live extraction, unlike the
+        # incremental preview's u8 wire format)
         nt = int(nt)
-        verts = np.asarray(v).transpose(2, 0, 1)[:nt]  # (T, vtx, xyz)
-        cols = np.asarray(c).transpose(2, 0, 1)[:nt]
-        blk = (np.asarray(cells).T[:nt] // self.cfg.block_resolution)
+        ntb = _bucket(max(nt, 1), self.max_tris, lo=4096)
+        verts = np.asarray(v[:, :, :ntb]).transpose(2, 0, 1)[:nt]
+        cols = np.asarray(c[:, :, :ntb]).transpose(2, 0, 1)[:nt]
+        blk = (np.asarray(cells[:, :ntb]).T[:nt]
+               // self.cfg.block_resolution)
         tkeys = pack_np(blk)
         empty_v = np.zeros((0, 3, 3), np.float32)
         for s in emit_slots:  # zero-triangle blocks still freeze
@@ -629,9 +640,10 @@ class StreamingTSDF:
             v, c, nt, ovf = self._run_extract(
                 self.max_cells, self.max_tris, extract_blocks=E,
                 emit_mask=jnp.asarray(emit))
-            nt = int(nt)
-            parts_v.append(np.asarray(v).transpose(2, 0, 1)[:nt])
-            parts_c.append(np.asarray(c).transpose(2, 0, 1)[:nt])
+            nt = int(nt)  # trim the pull (see _freeze_extract)
+            ntb = _bucket(max(nt, 1), self.max_tris, lo=4096)
+            parts_v.append(np.asarray(v[:, :, :ntb]).transpose(2, 0, 1)[:nt])
+            parts_c.append(np.asarray(c[:, :, :ntb]).transpose(2, 0, 1)[:nt])
         if parts_v:
             verts = np.concatenate(parts_v).reshape(-1, 3)
             cols = np.concatenate(parts_c).reshape(-1, 3)

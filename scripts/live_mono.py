@@ -88,9 +88,7 @@ def main():
             # depth_trunc; raising it extends integration reach past the
             # reload ring, which degrades frozen caches to merge-and-refresh
             # churn (tsdf/streaming.py policy contract)
-            reach = (1.45 * pipe.cfg.camera.depth_trunc
-                     + pipe.cfg.tsdf.sdf_trunc
-                     + 1.8 * pipe.cfg.tsdf.block_size)
+            reach = type(streaming).integration_reach(pipe.cfg)
             if reach > streaming.reload_dist:
                 log_info(f"WARNING: depth_trunc raises integration reach to "
                          f"{reach:.2f} m > streaming reload ring "

@@ -246,6 +246,49 @@ def test_incremental_extractor_survives_streaming_compaction(corridor):
     np.testing.assert_array_equal(got, want)
 
 
+def test_incremental_index_survives_shuffle_at_constant_nb(corridor):
+    """The adversarial compaction case (review finding): slots shuffle while
+    n_blocks stays IDENTICAL (evict k + allocate k, or a pure permutation),
+    so neither the nb-decrease nor the monotonic-decrease reset heuristics
+    fire — the extractor's sorted key->slot index must rebuild anyway (it
+    now compares the in-band coords), or selections would index slots that
+    hold different blocks."""
+    from azurekinect3dreconstruction_tpu.tsdf.incremental import (
+        IncrementalExtractor,
+    )
+    from azurekinect3dreconstruction_tpu.tsdf.streaming import _compact
+
+    intr, rays, frame = corridor
+    vol = _integrate_all(SMALL, [frame(0.04 * i) for i in range(8)],
+                         intr, rays)
+    inc = IncrementalExtractor(SMALL, max_cells=1 << 14, max_tris=1 << 16)
+    inc.update(vol)
+    n = int(vol.n_blocks)
+    # shuffle the pool at constant nb; weights only MOVE (the monotonic
+    # per-slot sums change but in both directions — the reset heuristic may
+    # or may not fire; correctness must not depend on it)
+    perm = np.random.RandomState(7).permutation(n).astype(np.int32)
+    full = np.zeros(SMALL.block_capacity, np.int32)
+    full[:n] = perm
+    vol2 = _compact(vol, full, np.int32(n))
+    assert int(vol2.n_blocks) == n
+    # one more frame so the update has changed blocks to re-extract
+    d, c, T = frame(0.32)
+    from azurekinect3dreconstruction_tpu.tsdf import volume as tvol
+
+    vol2 = tvol.integrate_frame(vol2, d, c, rays, T, intr, SMALL,
+                                stride=2, backend="xla")
+    m = inc.update(vol2)
+    fresh = IncrementalExtractor(SMALL, max_cells=1 << 14,
+                                 max_tris=1 << 16).update(vol2)
+    got = _sorted_soup(m.vertices.reshape(-1, 3, 3),
+                       m.vertex_colors.reshape(-1, 3, 3))
+    want = _sorted_soup(fresh.vertices.reshape(-1, 3, 3),
+                        fresh.vertex_colors.reshape(-1, 3, 3))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_reload_defers_when_pool_full(corridor):
     """A reload into a full pool must DEFER (payload back in the store,
     warning logged) — never silently lose the block (review finding r3)."""
