@@ -32,7 +32,11 @@ from azurekinect3dreconstruction_tpu.core.types import RGBDFrame
 from azurekinect3dreconstruction_tpu.tracking.odometry import compute_odometry
 from azurekinect3dreconstruction_tpu.tsdf import marching_cubes as mc
 from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf
-from azurekinect3dreconstruction_tpu.utils.telemetry import Telemetry
+from azurekinect3dreconstruction_tpu.utils.telemetry import (
+    Telemetry,
+    log_info,
+    log_warning,
+)
 
 
 class MonoOdometryTSDF:
@@ -44,7 +48,9 @@ class MonoOdometryTSDF:
                  backend: str = "auto", tracking: str = "frame_to_frame",
                  model_refine_interval: int = 5, model_points: int = 32768,
                  model_min_inliers: int = 3000, worklist_size: int = 2048,
-                 streaming=None):
+                 streaming=None, relocalize: bool = False,
+                 reloc_window: int = 3, reloc_interval: int = 8,
+                 reloc_min_inliers: int = 2000):
         """``tracking``: "frame_to_frame" (reference
         1camera-detectsSceneChanges.py odometry chaining) or
         "frame_to_model" — odometry predicts, then projective point-to-plane
@@ -60,8 +66,22 @@ class MonoOdometryTSDF:
         ticks is unchanged) and ``extract_mesh`` assembles live + frozen
         geometry, so scans of any spatial extent run in the fixed pool
         (the reference's ever-growing ScalableTSDFVolume scale semantics,
-        CreateMesh.py:300-336, on constant HBM)."""
+        CreateMesh.py:300-336, on constant HBM).
+
+        ``relocalize``: tracking-loss recovery (frame_to_frame mode only —
+        the fused step grows a device-side fusion latch, see
+        :func:`apply_lost_latch`). Every ``reloc_interval`` frames the host
+        pulls the fitness scalars accumulated since the last check (ONE
+        stacked sync — the only overhead this mode adds while tracking is
+        healthy); ``reloc_window`` consecutive gate rejections declare the
+        pose LOST, after which frames bypass the step entirely and
+        :class:`tracking.relocalize.Relocalizer` re-registers the incoming
+        frame against the fused model at the same cadence until it
+        recovers. The reference can only reset the scene at this point
+        (1camera-detectsSceneChanges.py:202-212)."""
         assert tracking in ("frame_to_frame", "frame_to_model")
+        assert not (relocalize and tracking != "frame_to_frame"), \
+            "relocalize requires the fused frame_to_frame step"
         self.intr = intrinsics
         self.cfg = config or PipelineConfig()
         self.backend = backend
@@ -89,6 +109,16 @@ class MonoOdometryTSDF:
         self._model = None  # (points, mask) device cache for frame-to-model
         self._step = None  # lazily-built fused (odometry+fusion) step
         self._track = None  # lazily-built odometry-only step (frame_to_model)
+        self.relocalize = relocalize
+        self.reloc_window = reloc_window
+        self.reloc_interval = reloc_interval
+        self.reloc_min_inliers = reloc_min_inliers
+        self.lost = False  # host view: pose declared untrusted
+        self._lost_dev = jnp.float32(0.0)  # device fusion latch (reloc mode)
+        self._lost_frames = 0  # frames since the loss was declared
+        self._consec_fail = 0  # consecutive gate rejections seen by checks
+        self._fit_checked = 0  # _fits_dev prefix already consumed by checks
+        self._relocalizer = None  # lazily-built Relocalizer
 
     # -- lazy host views (each read syncs the device once) --------------------
 
@@ -134,6 +164,11 @@ class MonoOdometryTSDF:
         self._prev_depth = None
         self.frame_index = 0
         self._model = None
+        self.lost = False
+        self._lost_dev = jnp.float32(0.0)
+        self._lost_frames = 0
+        self._consec_fail = 0
+        self._fit_checked = 0
 
     def _get_step(self):
         """Fused raw-frame step (decode + odometry + gate + fusion in ONE
@@ -145,8 +180,21 @@ class MonoOdometryTSDF:
                 self.intr, self.cfg, worklist_size=self.worklist_size,
                 stride=2, min_fitness=self.MIN_FITNESS,
                 backend="pallas" if use_pallas else "xla",
-                interpret=interp)
+                interpret=interp,
+                integrate_rejected=not self.relocalize)
         return self._step
+
+    def _get_relocalizer(self):
+        if self._relocalizer is None:
+            from azurekinect3dreconstruction_tpu.tracking.relocalize import (
+                Relocalizer,
+            )
+
+            self._relocalizer = Relocalizer(
+                self.intr, self.cfg, rays=self.rays,
+                model_points=self.model_points,
+                min_inliers=self.reloc_min_inliers)
+        return self._relocalizer
 
     def _get_track_step(self):
         """Odometry-only step for frame_to_model mode, where fusion must wait
@@ -182,6 +230,8 @@ class MonoOdometryTSDF:
         frame_to_frame mode the host work per frame is exactly one raw-array
         transfer plus one dispatch (decode runs inside the step)."""
         cam = self.cfg.camera
+        if self.lost:
+            return self._process_lost(depth_raw, color_raw)
         frame = None
         if self.tracking == "frame_to_model" or self._prev_int is None:
             # eager decode only where the mode needs host-side refinement
@@ -224,19 +274,30 @@ class MonoOdometryTSDF:
             # + integrate; the decoded frame comes back for the next step
             step = self._get_step()
             with self.telemetry.time_block("step"):
-                (self.volume, self._T_dev, fit,
-                 self._prev_int, self._prev_depth) = step(
-                    self.volume, self._T_dev,
-                    self._prev_int, self._prev_depth,
-                    depth_raw, color_raw, self.rays,
-                    # traced scalars: live '=/-/[/]' retuning, no recompile
-                    1.0 / cam.depth_scale, cam.depth_min, cam.depth_trunc)
+                if self.relocalize:
+                    (self.volume, self._T_dev, fit, self._prev_int,
+                     self._prev_depth, self._lost_dev) = step(
+                        self.volume, self._T_dev,
+                        self._prev_int, self._prev_depth,
+                        depth_raw, color_raw, self.rays,
+                        1.0 / cam.depth_scale, cam.depth_min,
+                        cam.depth_trunc, self._lost_dev)
+                else:
+                    (self.volume, self._T_dev, fit,
+                     self._prev_int, self._prev_depth) = step(
+                        self.volume, self._T_dev,
+                        self._prev_int, self._prev_depth,
+                        depth_raw, color_raw, self.rays,
+                        # traced scalars: live '=/-/[/]' retuning, no recompile
+                        1.0 / cam.depth_scale, cam.depth_min, cam.depth_trunc)
             self._fits_dev.append(fit)
 
         self.prev = frame
         self._traj_dev.append(self._T_dev)
         self.frame_index += 1
-        if self.streaming is not None:
+        if self.relocalize and self.frame_index % self.reloc_interval == 0:
+            self._check_tracking()
+        if self.streaming is not None and not self.lost:
             # the manager owns the interval counter (one source of truth);
             # the pose lambda evaluates only when a tick actually runs, so
             # non-tick frames stay fully sync-free
@@ -247,33 +308,95 @@ class MonoOdometryTSDF:
                     self.volume = self.streaming.vol
         if (self.tracking == "frame_to_model"
                 and self.frame_index % self.model_refine_interval == 0):
-            # refresh the device-resident model surface: budget-bounded
-            # marching-cubes VERTICES (the fast extractor; overflow just
-            # truncates — a subset of the surface is plenty for tracking).
-            # Arrays stay on device, no host round trip.
-            nb = int(self.volume.n_blocks)
-            E = mc.snap_extract_blocks(nb, self.volume.tsdf.shape[0])
-            # extract at 4x the model budget and STRIDE-subsample by the
-            # ACTUAL emission size: a budget overflow truncates in pool-slot
-            # (= first-seen block) order, which would bias the model toward
-            # the oldest-scanned region; striding a larger emission covers
-            # all blocks uniformly, and small scenes keep full density
-            mtris = self.model_points // 3
-            v, _c, n_tris, ovf = mc.extract_mesh_arrays(
-                self.volume, self.cfg.tsdf, max_cells=64 * 8192,
-                max_tris=4 * mtris, extract_blocks=E)
-            nt = int(n_tris)
-            stride = 1 if nt <= mtris else (2 if nt <= 2 * mtris else 4)
-            v = v[:, :, ::stride][:, :, :mtris]  # (3, 3, mtris) all strides
-            pts = v.transpose(2, 0, 1).reshape(-1, 3)  # (3*mtris, 3)
-            n_keep = min(-(-nt // stride), mtris)
-            mask = (jax.lax.broadcasted_iota(jnp.int32, (3 * mtris, 1), 0)[:, 0]
-                    < 3 * n_keep)
+            # refresh the device-resident model surface: budget-bounded,
+            # pool-order-unbiased marching-cubes VERTICES (shared sampler —
+            # see mc.extract_surface_samples; overflow just truncates, a
+            # subset of the surface is plenty for tracking)
+            pts, mask, ovf = mc.extract_surface_samples(
+                self.volume, self.cfg.tsdf, self.model_points)
             self._model = (pts, mask)
             if bool(ovf):
                 # surface exceeds even the 4x emission: the subset is biased
                 # toward the oldest blocks — surface it instead of hiding it
                 self.telemetry.count("model_truncated")
+        self.telemetry.tick_frame()
+        self.telemetry.maybe_report()
+        return self._T_dev
+
+    # -- tracking-loss detection + relocalization (reloc mode only) -----------
+
+    def _check_tracking(self) -> None:
+        """Cadence host check (the one sync relocalization mode adds): pull
+        the fitness scalars accumulated since the last check and update the
+        consecutive-rejection count. ``reloc_window`` straight rejections
+        declare the pose LOST; otherwise any transient rejection cleared
+        here re-opens the device fusion latch (frames between the rejection
+        and this check were tracked but not fused — counted, not hidden)."""
+        fresh = self._fits_dev[self._fit_checked:]
+        self._fit_checked = len(self._fits_dev)
+        if not fresh:
+            return
+        f = np.asarray(jnp.stack(fresh))
+        bad = (f <= self.MIN_FITNESS) | ~np.isfinite(f)
+        for b in bad:
+            self._consec_fail = self._consec_fail + 1 if b else 0
+        if self._consec_fail >= self.reloc_window:
+            self.lost = True
+            self._lost_frames = 0
+            self.telemetry.count("tracking_lost")
+            log_warning(f"tracking LOST ({self._consec_fail} consecutive "
+                        "rejections); fusion paused, relocalizing")
+        elif bad.any():
+            # transient rejection: the latch paused fusion from the first
+            # rejected frame through now — resume it
+            n_paused = len(bad) - int(np.argmax(bad))
+            self.telemetry.count("fusion_paused_frames", n_paused)
+            self._lost_dev = jnp.float32(0.0)
+            log_info(f"transient tracking rejection: {n_paused} frame(s) "
+                     "tracked but not fused")
+
+    def _process_lost(self, depth_raw, color_raw):
+        """Frame handling while the pose is untrusted: the fused step is
+        bypassed entirely (no odometry against a pose chain known to be
+        corrupt, no fusion), the stale pose repeats in the trajectory, and
+        every ``reloc_interval``-th frame (starting with the FIRST — a jump
+        with intact view recovers immediately) attempts a global frame-to-
+        model relocalization. On success the recovered frame integrates and
+        re-seeds frame-to-frame tracking."""
+        cam = self.cfg.camera
+        recovered = False
+        if self._lost_frames % self.reloc_interval == 0:
+            frame = RGBDFrame.from_raw(depth_raw, color_raw, cam.depth_scale,
+                                       cam.depth_trunc, cam.depth_min)
+            with self.telemetry.time_block("relocalize"):
+                T = self._get_relocalizer().attempt(
+                    self.volume, frame.depth, T_hint=self.T_world_cam)
+            if T is not None:
+                self._T_dev = jnp.asarray(T, jnp.float32)
+                self.volume = tsdf.integrate_frame(
+                    self.volume, frame.depth, frame.color, self.rays,
+                    self._T_dev, self.intr, self.cfg.tsdf,
+                    backend=self.backend)
+                self._prev_int = frame.intensity
+                self._prev_depth = frame.depth
+                self.prev = frame
+                self.lost = False
+                self._lost_dev = jnp.float32(0.0)
+                self._consec_fail = 0
+                recovered = True
+                self.telemetry.count("relocalized")
+                log_info(f"relocalized after {self._lost_frames + 1} lost "
+                         "frames")
+            else:
+                self.telemetry.count("reloc_failed")
+        self._lost_frames += 1
+        # bookkeeping mirrors the tracked path: lost frames are recorded as
+        # failures (-1, same marker the gate emits); the recovery frame is a
+        # success secured by the relocalizer's own gates, not odometry
+        self._fits_dev.append(jnp.float32(1.0 if recovered else -1.0))
+        self._fit_checked = len(self._fits_dev)  # checks must not re-count
+        self._traj_dev.append(self._T_dev)
+        self.frame_index += 1
         self.telemetry.tick_frame()
         self.telemetry.maybe_report()
         return self._T_dev
@@ -380,21 +503,54 @@ def apply_odometry_gate(T_prev, res, min_fitness: float):
     return T, jnp.where(ok, res.fitness, jnp.float32(-1.0))
 
 
+def apply_lost_latch(lost_in, fit, depth):
+    """Device-side fusion guard for relocalization mode: the latch SETS on
+    any gate rejection (fit < 0) and only the host clears it (after a
+    tracking check or a successful relocalization) — so from the first
+    rejected frame onward NOTHING fuses until the pose is re-proven. Frames
+    with a corrupt-but-gate-passing pose (tracking re-locks frame-to-frame
+    after an occlusion with the pose already wrong) therefore cannot reach
+    the volume either: the latch was set by the occlusion frames and is
+    still up when they arrive. Implementation: depth scales to 0 when
+    latched — a zero depth is "invalid" to every downstream consumer
+    (allocate masks d > 0, integration weights vanish), so allocate +
+    integrate become no-ops without a branch. Costs one elementwise
+    multiply that fuses into the decode."""
+    lost = jnp.maximum(jnp.asarray(lost_in, jnp.float32),
+                       jnp.where(fit < 0, jnp.float32(1.0), jnp.float32(0.0)))
+    return lost, depth * (1.0 - lost)
+
+
 def _xla_step_fn(intr: Intrinsics, cfg: PipelineConfig,
-                 stride: int = 2, min_fitness: float = 0.3):
-    """Unjitted XLA tracking+fusion body (see :func:`make_xla_slam_step`)."""
+                 stride: int = 2, min_fitness: float = 0.3,
+                 integrate_rejected: bool = True):
+    """Unjitted XLA tracking+fusion body (see :func:`make_xla_slam_step`).
+
+    ``integrate_rejected=False`` (relocalization mode) threads a device-side
+    lost latch through the step — see :func:`apply_lost_latch` — and the
+    step signature gains a trailing ``lost_in`` arg / ``lost_out`` return."""
     ocfg = cfg.odometry
     tcfg = cfg.tsdf
+
+    def fuse(vol, depth, color, T, rays):
+        vol = tsdf.allocate(vol, depth, rays, T, tcfg, stride=stride)
+        return tsdf.integrate(vol, depth, color, T, intr, tcfg)
 
     def step(vol, T_prev, prev_int, prev_depth, intensity, depth, color, rays):
         res = compute_odometry(prev_int, prev_depth, intensity, depth, intr,
                                ocfg)
         T, fit = apply_odometry_gate(T_prev, res, min_fitness)
-        vol = tsdf.allocate(vol, depth, rays, T, tcfg, stride=stride)
-        vol = tsdf.integrate(vol, depth, color, T, intr, tcfg)
-        return vol, T, fit
+        return fuse(vol, depth, color, T, rays), T, fit
 
-    return step
+    def step_latched(vol, T_prev, prev_int, prev_depth, intensity, depth,
+                     color, rays, lost_in):
+        res = compute_odometry(prev_int, prev_depth, intensity, depth, intr,
+                               ocfg)
+        T, fit = apply_odometry_gate(T_prev, res, min_fitness)
+        lost, d = apply_lost_latch(lost_in, fit, depth)
+        return fuse(vol, d, color, T, rays), T, fit, lost
+
+    return step if integrate_rejected else step_latched
 
 
 def make_xla_slam_step(intr: Intrinsics, cfg: PipelineConfig,
@@ -409,8 +565,10 @@ def make_xla_slam_step(intr: Intrinsics, cfg: PipelineConfig,
 
 def _device_step_fn(intr: Intrinsics, cfg: PipelineConfig,
                     worklist_size: int = 2048, stride: int = 2,
-                    min_fitness: float = 0.3, interpret: bool = False):
-    """Unjitted Pallas tracking+fusion body (see :func:`make_device_slam_step`)."""
+                    min_fitness: float = 0.3, interpret: bool = False,
+                    integrate_rejected: bool = True):
+    """Unjitted Pallas tracking+fusion body (see :func:`make_device_slam_step`).
+    ``integrate_rejected=False``: see the XLA twin / :func:`apply_lost_latch`."""
     from azurekinect3dreconstruction_tpu.ops.pallas.tsdf_kernels import integrate_step
     from azurekinect3dreconstruction_tpu.ops.pallas.odometry_kernels import (
         compute_odometry_tpu,
@@ -426,7 +584,17 @@ def _device_step_fn(intr: Intrinsics, cfg: PipelineConfig,
                              worklist_size, stride, interpret)
         return vol, T, fit
 
-    return step
+    def step_latched(vol, T_prev, prev_int, prev_depth, intensity, depth,
+                     color, rays, lost_in):
+        res = compute_odometry_tpu(prev_int, prev_depth, intensity, depth, intr,
+                                   ocfg, interpret=interpret)
+        T, fit = apply_odometry_gate(T_prev, res, min_fitness)
+        lost, d = apply_lost_latch(lost_in, fit, depth)
+        vol = integrate_step(vol, d, color, T, rays, intr, cfg.tsdf,
+                             worklist_size, stride, interpret)
+        return vol, T, fit, lost
+
+    return step if integrate_rejected else step_latched
 
 
 def make_device_slam_step(intr: Intrinsics, cfg: PipelineConfig,
@@ -479,7 +647,8 @@ def decode_raw_frame(depth_raw, color_raw, inv_scale, depth_min, depth_trunc):
 def make_raw_slam_step(intr: Intrinsics, cfg: PipelineConfig,
                        worklist_size: int = 2048, stride: int = 2,
                        min_fitness: float = 0.3, backend: str = "pallas",
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       integrate_rejected: bool = True):
     """The live-loop hot path: ONE jitted dispatch per frame, fed RAW sensor
     arrays (u16 depth + u8 color, exactly what the capture thread / replay
     yields). Decode, odometry, gate, allocate and integrate all fuse into a
@@ -491,10 +660,17 @@ def make_raw_slam_step(intr: Intrinsics, cfg: PipelineConfig,
     step(vol, T_prev, prev_intensity, prev_depth, depth_raw, color_raw,
          rays, inv_scale, depth_min, depth_trunc)
         -> (vol, T_world_cam, fitness, intensity, depth_m)
+
+    ``integrate_rejected=False`` (relocalization mode): the step gains a
+    trailing ``lost_in`` arg and ``lost_out`` return — the device-side
+    fusion latch (:func:`apply_lost_latch`). Tracking still runs while
+    latched; only fusion pauses.
     """
     inner = (_device_step_fn(intr, cfg, worklist_size, stride, min_fitness,
-                             interpret) if backend == "pallas"
-             else _xla_step_fn(intr, cfg, stride, min_fitness))
+                             interpret, integrate_rejected)
+             if backend == "pallas"
+             else _xla_step_fn(intr, cfg, stride, min_fitness,
+                               integrate_rejected))
 
     def step(vol, T_prev, prev_int, prev_depth, depth_raw, color_raw, rays,
              inv_scale, depth_min, depth_trunc):
@@ -504,7 +680,16 @@ def make_raw_slam_step(intr: Intrinsics, cfg: PipelineConfig,
                             rays)
         return vol, T, fit, inten, d
 
-    return jax.jit(step, donate_argnums=(0,))
+    def step_latched(vol, T_prev, prev_int, prev_depth, depth_raw, color_raw,
+                     rays, inv_scale, depth_min, depth_trunc, lost_in):
+        d, c, inten = decode_raw_frame(depth_raw, color_raw, inv_scale,
+                                       depth_min, depth_trunc)
+        vol, T, fit, lost = inner(vol, T_prev, prev_int, prev_depth, inten,
+                                  d, c, rays, lost_in)
+        return vol, T, fit, inten, d, lost
+
+    return jax.jit(step if integrate_rejected else step_latched,
+                   donate_argnums=(0,))
 
 
 def make_device_slam_batch(intr: Intrinsics, cfg: PipelineConfig,

@@ -1,0 +1,187 @@
+"""Tracking-loss recovery: global frame-to-MODEL re-registration.
+
+The reference's only answers to lost tracking are a full scene reset (the
+'C' key / scene-change path, CodeThatWorks/1camera-detectsSceneChanges.py:202-212)
+and silently continuing with identity motion (:258-260) — after an occlusion
+or a camera jump, everything integrated afterwards lands at a stale pose and
+the map is ruined. Its keyframe recorder has a frame-to-PREVIOUS-frame
+FPFH+RANSAC fallback (GoodColorReconstruction.py:161-204), but that only
+helps when the previous frame is itself well-posed; once the pose chain is
+corrupt, no frame-to-frame machinery can recover.
+
+Production voxel-hashing systems relocalize against the MAP instead
+(KinectFusion-style): when tracking is declared lost, globally register the
+incoming frame against surface samples of the fused TSDF model, refine with
+ICP, and resume from the recovered world pose. This module composes the
+framework's existing registration stack into exactly that:
+
+1. model cloud — budget-bounded, pool-order-unbiased marching-cubes vertex
+   samples (``mc.extract_surface_samples``, shared with the frame-to-model
+   tracking mode), in WORLD coordinates;
+2. FPFH features on both clouds (voxel-downsampled, PCA normals; the model
+   cloud's normals orient toward the last-known camera position — the best
+   available viewpoint proxy, and FPFH's angle histograms are sign-aware);
+3. multi-restart parallel-hypothesis RANSAC
+   (``tracking.ransac.global_registration``), candidates ranked and gated by
+   ``evaluate_registration`` cloud-overlap fitness — the reference's fitness
+   SEMANTICS (GoodColorReconstruction.py:183) — because the RANSAC
+   correspondence-inlier share is pessimistic on smooth geometry (same
+   reasoning as pipelines/cloud_accumulator._coarse_seed);
+4. projective point-to-plane ICP of the FULL model sample set onto the
+   frame's organized maps (same shape as the frame-to-model refinement,
+   pipelines/mono_odometry_tsdf._refine_against_model), gated on inlier
+   COUNT — most of a grown map legitimately projects outside one frame, so
+   a fitness ratio would reject every correct recovery.
+
+The pipeline side (``MonoOdometryTSDF(relocalize=True)``) decides WHEN this
+runs; this class is stateless across attempts apart from its RNG and
+counters, so it can also be driven standalone against any volume + frame.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from azurekinect3dreconstruction_tpu.config import PipelineConfig
+from azurekinect3dreconstruction_tpu.core import se3
+from azurekinect3dreconstruction_tpu.core.camera import Intrinsics, pixel_rays
+from azurekinect3dreconstruction_tpu.ops.backproject import backproject_depth
+from azurekinect3dreconstruction_tpu.ops.neighbors import (
+    estimate_normals_knn,
+    voxel_downsample_arrays,
+)
+from azurekinect3dreconstruction_tpu.tracking.features import compute_fpfh
+from azurekinect3dreconstruction_tpu.tracking.icp import (
+    TargetMaps,
+    evaluate_registration,
+    icp_projective,
+)
+from azurekinect3dreconstruction_tpu.tracking.ransac import global_registration
+from azurekinect3dreconstruction_tpu.tsdf import marching_cubes as mc
+
+
+class Relocalizer:
+    """Recover a world pose for one RGB-D frame from the fused model.
+
+    Feature-stage constants default to the recorder ladder's proven values
+    (pipelines/recorder.py: 2 cm downsample voxel, 4 cm/k=12 normals,
+    6 cm/k=16 FPFH).
+    """
+
+    def __init__(self, intr: Intrinsics, cfg: Optional[PipelineConfig] = None,
+                 rays=None, model_points: int = 32768,
+                 feature_points: int = 8192, downsample_voxel: float = 0.015,
+                 min_inliers: int = 2000, min_depth_pixels: int = 2000,
+                 restarts: int = 4, stride: Optional[int] = None,
+                 seed: int = 0):
+        self.intr = intr
+        self.cfg = cfg or PipelineConfig()
+        self.rays = pixel_rays(intr) if rays is None else rays
+        self.model_points = model_points
+        self.feature_points = feature_points
+        self.downsample_voxel = downsample_voxel
+        self.min_inliers = min_inliers
+        self.min_depth_pixels = min_depth_pixels
+        self.restarts = restarts
+        # pixel stride bounds the frame cloud fed to the voxel grid at
+        # ~32k points whatever the image scale (full 640x576 -> 4, the
+        # quarter-scale test frames -> 1)
+        self.stride = stride or max(
+            1, round(float(np.sqrt(intr.height * intr.width / 32768.0))))
+        self._key = jax.random.PRNGKey(seed)
+        self.n_attempts = 0
+        self.n_success = 0
+        self.last_reject = ""  # observability: why the last attempt failed
+
+    def _features(self, pts, mask, orient_to):
+        """Downsample -> PCA normals -> FPFH (the coarse-stage ladder with
+        its proven radii — 2x/4x the grid voxel, cloud_accumulator), shared
+        verbatim between the frame and model clouds so both feature sets see
+        identical binning."""
+        vox = self.downsample_voxel
+        ds, dm, _, _ = voxel_downsample_arrays(pts, mask, vox,
+                                               self.feature_points)
+        n = estimate_normals_knn(ds, dm, radius=2 * vox, k=12,
+                                 orient_to=orient_to)
+        f = compute_fpfh(ds, n, dm, radius=4 * vox, k=16)
+        return ds, dm, f
+
+    def attempt(self, vol, depth, T_hint=None) -> Optional[np.ndarray]:
+        """Try to relocalize one frame against the fused volume.
+
+        ``depth``: decoded (H, W) meters (0 = invalid), device or host.
+        ``T_hint``: last-known/predicted T_world_cam — ONLY used to orient
+        the model cloud's normals (a wrong hint degrades FPFH matching but
+        cannot bias the recovered pose). Returns the recovered 4x4
+        T_world_cam (float64) or None; ``last_reject`` says why on None.
+        """
+        reg = self.cfg.registration
+        self.n_attempts += 1
+        depth = jnp.asarray(depth, jnp.float32)
+        # cheap pre-gate: an occluded/empty frame (the usual cause of the
+        # loss) cannot be registered — skip the FPFH machinery entirely
+        if int(jnp.sum(depth > 0)) < self.min_depth_pixels:
+            self.last_reject = "empty_frame"
+            return None
+
+        # model cloud (world frame), unbiased budget subsample
+        mpts, mmask, _ovf = mc.extract_surface_samples(
+            vol, self.cfg.tsdf, self.model_points)
+        cam_pos = (np.zeros(3) if T_hint is None
+                   else np.asarray(T_hint, np.float64)[:3, 3])
+        m_ds, m_dm, m_f = self._features(mpts, mmask, cam_pos)
+
+        # frame cloud (camera frame); normals orient to the camera origin
+        src = backproject_depth(depth, self.rays)
+        src = src[::self.stride, ::self.stride].reshape(-1, 3)
+        s_ds, s_dm, s_f = self._features(src, src[:, 2] > 0, np.zeros(3))
+
+        # coarse: multi-restart RANSAC over mutual FPFH matches; the winning
+        # hypothesis maps frame(camera) coords -> world == a T_world_cam
+        # candidate. Candidates are ranked/gated by evaluate_registration
+        # overlap of the aligned FRAME cloud against the model — the
+        # reference's fitness semantics; a relocalization frame should lie
+        # almost entirely ON the model, so the gate is meaningful here in a
+        # way the RANSAC inlier share is not (see module docstring).
+        import dataclasses
+
+        reg_full = dataclasses.replace(
+            reg, ransac_hypotheses=max(8192, reg.ransac_hypotheses))
+        best, best_fit = None, -1.0
+        for _ in range(self.restarts):
+            self._key, sub = jax.random.split(self._key)
+            g = global_registration(s_ds, s_f, s_dm, m_ds, m_f, m_dm, sub,
+                                    reg_full, distance_threshold=0.04)
+            T = np.asarray(g.T, np.float64)
+            if not (se3.is_valid_transform(T) and np.isfinite(T).all()):
+                continue
+            fit, _ = evaluate_registration(s_ds, s_dm, m_ds, m_dm, g.T,
+                                           dist_thr=0.05)
+            if float(fit) > best_fit:
+                best, best_fit = T, float(fit)
+        if best is None or best_fit < reg.min_fitness_global:
+            self.last_reject = f"global overlap {best_fit:.3f}"
+            return None
+        T_g = best
+
+        # refine: FULL model sample set onto the frame's organized maps,
+        # seeded by the coarse pose (init maps world -> camera)
+        maps = TargetMaps.from_depth(depth, self.intr, rays=self.rays)
+        res = icp_projective(mpts, mmask, maps, self.intr,
+                             init=jnp.asarray(np.linalg.inv(T_g), jnp.float32),
+                             max_iters=15,
+                             dist_thr=reg.icp_distance_threshold)
+        T_mc = np.asarray(res.T, np.float64)  # world -> camera
+        if int(res.inliers) < self.min_inliers:
+            self.last_reject = f"icp inliers {int(res.inliers)}"
+            return None
+        if not se3.is_valid_transform(T_mc):
+            self.last_reject = "icp transform invalid"
+            return None
+        self.n_success += 1
+        self.last_reject = ""
+        return np.linalg.inv(T_mc)

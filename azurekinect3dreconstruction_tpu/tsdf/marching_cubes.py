@@ -483,6 +483,39 @@ def extract_mesh_arrays(vol: TSDFVolume, cfg: TSDFConfig,
                            return_encoding=return_encoding)
 
 
+def extract_surface_samples(vol: TSDFVolume, cfg: TSDFConfig,
+                            n_points: int, max_cells: int = 64 * 8192):
+    """Budget-bounded, pool-order-UNBIASED device surface point samples:
+    marching-cubes vertices extracted at 4x the requested budget and
+    stride-subsampled by the actual emission size. A plain budget overflow
+    truncates in pool-slot (= first-seen block) order, which would bias the
+    sample toward the oldest-scanned region; striding a larger emission
+    covers all blocks uniformly, and small scenes keep full density.
+
+    Used as the tracking model by the frame-to-model pipeline mode
+    (pipelines.mono_odometry_tsdf) and by tracking.relocalize — both need
+    surface points that represent the WHOLE map, not its oldest corner.
+
+    Returns (points (3 * (n_points//3), 3), mask, overflow) — points/mask on
+    device, overflow a device bool that is True when the surface exceeded
+    even the 4x emission (the sample is then still biased toward old blocks;
+    callers surface it instead of hiding it). Syncs once (n_blocks).
+    """
+    nb = int(vol.n_blocks)
+    E = snap_extract_blocks(nb, vol.tsdf.shape[0])
+    mtris = max(n_points // 3, 1)
+    v, _c, n_tris, ovf = extract_mesh_arrays(
+        vol, cfg, max_cells=max_cells, max_tris=4 * mtris, extract_blocks=E)
+    nt = int(n_tris)
+    stride = 1 if nt <= mtris else (2 if nt <= 2 * mtris else 4)
+    v = v[:, :, ::stride][:, :, :mtris]  # (3, 3, mtris) at every stride
+    pts = v.transpose(2, 0, 1).reshape(-1, 3)  # (3*mtris, 3)
+    n_keep = min(-(-nt // stride), mtris)
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (3 * mtris, 1), 0)[:, 0]
+            < 3 * n_keep)
+    return pts, mask, ovf
+
+
 @partial(jax.jit, static_argnames=("cfg", "extract_blocks"))
 def count_active_bricks(vol: TSDFVolume, cfg: TSDFConfig,
                         extract_blocks: int):

@@ -32,6 +32,11 @@ def main():
                     help="stream far-from-camera TSDF blocks to host memory "
                          "(unbounded scene extent on the fixed device pool; "
                          "saves assemble live + streamed geometry)")
+    ap.add_argument("--relocalize", action="store_true",
+                    help="recover from tracking loss by re-registering the "
+                         "live frame against the fused model (fusion pauses "
+                         "while the pose is untrusted; the reference can "
+                         "only reset the scene here)")
     args = ap.parse_args()
 
     frames, intr = make_source(args)
@@ -49,7 +54,8 @@ def main():
                  f"evict>{streaming.evict_dist:.2f} m, "
                  f"high water {streaming.high_water} blocks")
     pipe = MonoOdometryTSDF(intr, cfg, backend=args.backend,
-                            tracking=args.tracking, streaming=streaming)
+                            tracking=args.tracking, streaming=streaming,
+                            relocalize=args.relocalize)
     viewer = make_viewer(args, "mono odometry+TSDF")
     saver = ResultSaver(args.output)
     state = {"mesh_mode": False}
