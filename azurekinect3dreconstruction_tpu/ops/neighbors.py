@@ -64,6 +64,23 @@ def voxel_downsample_arrays(points, mask, voxel_size, capacity: int,
     return out_pts, out_mask, out_cols, out_nrm
 
 
+@jax.jit
+def count_occupied_cells(points, mask, cell_size):
+    """Exact distinct-cell count at ``cell_size`` (sort + adjacent-diff —
+    no table, so nothing to overflow). Callers use it to FIT a downsample
+    voxel to a fixed capacity before calling voxel_downsample_arrays: a
+    saturated grid silently DROPS overflow cells (the ``slot = capacity``
+    drop above), and when two clouds saturate differently the surviving
+    cell sets diverge — measured to break FPFH matching between a full-res
+    frame and a model cloud (tracking.relocalize). ``cell_size`` is traced:
+    one compile per cloud shape serves every rung of a voxel ladder."""
+    keys = _cell_keys(points, mask, cell_size)
+    sk = jnp.sort(keys)
+    first = jnp.concatenate([sk[:1] != vhash.EMPTY_KEY,
+                             (sk[1:] != sk[:-1]) & (sk[1:] != vhash.EMPTY_KEY)])
+    return first.sum()
+
+
 def _next_pow2(x: int) -> int:
     return 1 << (x - 1).bit_length()
 

@@ -51,6 +51,7 @@ from azurekinect3dreconstruction_tpu.core import se3
 from azurekinect3dreconstruction_tpu.core.camera import Intrinsics, pixel_rays
 from azurekinect3dreconstruction_tpu.ops.backproject import backproject_depth
 from azurekinect3dreconstruction_tpu.ops.neighbors import (
+    count_occupied_cells,
     estimate_normals_knn,
     voxel_downsample_arrays,
 )
@@ -96,13 +97,36 @@ class Relocalizer:
         self.n_attempts = 0
         self.n_success = 0
         self.last_reject = ""  # observability: why the last attempt failed
+        # model-side work cache: while the pose is lost the pipeline PAUSES
+        # fusion, so across an episode's retries the volume (and the stale
+        # pose hint that orients the model normals) is frozen — the model
+        # extraction + features recompute for nothing. Keyed by everything
+        # they depend on; one entry (episodes don't interleave).
+        self._model_cache = None  # (key, (mpts, mmask, m_ds, m_dm, m_f, vox))
 
-    def _features(self, pts, mask, orient_to):
+    def _fit_voxel(self, pts, mask) -> float:
+        """Smallest ladder voxel at which the cloud fits the feature budget
+        with headroom. A saturated voxel_downsample_arrays silently drops
+        overflow cells, and the dropped sets differ between clouds —
+        measured (TPU, full 640x576 frames, 1.5 cm start voxel) to cap both
+        clouds at the budget with divergent survivors and kill FPFH
+        matching entirely (RANSAC overlap 0.11 vs 0.48 at the true pose).
+        The ladder is x1.5 from ``downsample_voxel`` (one compile of the
+        counter per cloud shape; cell_size rides as a traced scalar), so
+        rungs are discrete and cache-keyable."""
+        vox = self.downsample_voxel
+        budget = int(0.75 * self.feature_points)
+        for _ in range(6):
+            if int(count_occupied_cells(pts, mask, vox)) <= budget:
+                break
+            vox *= 1.5
+        return vox
+
+    def _features(self, pts, mask, orient_to, vox):
         """Downsample -> PCA normals -> FPFH (the coarse-stage ladder with
         its proven radii — 2x/4x the grid voxel, cloud_accumulator), shared
         verbatim between the frame and model clouds so both feature sets see
         identical binning."""
-        vox = self.downsample_voxel
         ds, dm, _, _ = voxel_downsample_arrays(pts, mask, vox,
                                                self.feature_points)
         n = estimate_normals_knn(ds, dm, radius=2 * vox, k=12,
@@ -128,17 +152,30 @@ class Relocalizer:
             self.last_reject = "empty_frame"
             return None
 
-        # model cloud (world frame), unbiased budget subsample
-        mpts, mmask, _ovf = mc.extract_surface_samples(
-            vol, self.cfg.tsdf, self.model_points)
+        # model cloud (world frame), unbiased budget subsample — cached
+        # across an episode's retries (fusion is paused while lost, so the
+        # volume and the stale hint are frozen; see _model_cache)
         cam_pos = (np.zeros(3) if T_hint is None
                    else np.asarray(T_hint, np.float64)[:3, 3])
-        m_ds, m_dm, m_f = self._features(mpts, mmask, cam_pos)
+        ck = (int(vol.n_blocks), cam_pos.tobytes())
+        if self._model_cache is None or self._model_cache[0] != ck:
+            mpts, mmask, _ovf = mc.extract_surface_samples(
+                vol, self.cfg.tsdf, self.model_points)
+            self._model_cache = (ck, mpts, mmask,
+                                 self._fit_voxel(mpts, mmask), {})
+        _, mpts, mmask, m_vox, m_feats = self._model_cache
 
         # frame cloud (camera frame); normals orient to the camera origin
         src = backproject_depth(depth, self.rays)
         src = src[::self.stride, ::self.stride].reshape(-1, 3)
-        s_ds, s_dm, s_f = self._features(src, src[:, 2] > 0, np.zeros(3))
+        s_mask = src[:, 2] > 0
+        # ONE voxel for both clouds (identical feature binning), fitted so
+        # neither saturates its grid; model features memoized per rung
+        vox = max(m_vox, self._fit_voxel(src, s_mask))
+        if vox not in m_feats:
+            m_feats[vox] = self._features(mpts, mmask, cam_pos, vox)
+        m_ds, m_dm, m_f = m_feats[vox]
+        s_ds, s_dm, s_f = self._features(src, s_mask, np.zeros(3), vox)
 
         # coarse: multi-restart RANSAC over mutual FPFH matches; the winning
         # hypothesis maps frame(camera) coords -> world == a T_world_cam
@@ -155,12 +192,13 @@ class Relocalizer:
         for _ in range(self.restarts):
             self._key, sub = jax.random.split(self._key)
             g = global_registration(s_ds, s_f, s_dm, m_ds, m_f, m_dm, sub,
-                                    reg_full, distance_threshold=0.04)
+                                    reg_full,
+                                    distance_threshold=max(0.04, 2.5 * vox))
             T = np.asarray(g.T, np.float64)
             if not (se3.is_valid_transform(T) and np.isfinite(T).all()):
                 continue
             fit, _ = evaluate_registration(s_ds, s_dm, m_ds, m_dm, g.T,
-                                           dist_thr=0.05)
+                                           dist_thr=max(0.05, 3.0 * vox))
             if float(fit) > best_fit:
                 best, best_fit = T, float(fit)
         if best is None or best_fit < reg.min_fitness_global:

@@ -499,7 +499,8 @@ def extract_surface_samples(vol: TSDFVolume, cfg: TSDFConfig,
     Returns (points (3 * (n_points//3), 3), mask, overflow) — points/mask on
     device, overflow a device bool that is True when the surface exceeded
     even the 4x emission (the sample is then still biased toward old blocks;
-    callers surface it instead of hiding it). Syncs once (n_blocks).
+    callers surface it instead of hiding it). Syncs twice (n_blocks for the
+    extraction prefix, n_tris for the stride choice).
     """
     nb = int(vol.n_blocks)
     E = snap_extract_blocks(nb, vol.tsdf.shape[0])
