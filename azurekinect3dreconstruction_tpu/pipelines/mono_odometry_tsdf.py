@@ -50,7 +50,8 @@ class MonoOdometryTSDF:
                  model_min_inliers: int = 3000, worklist_size: int = 2048,
                  streaming=None, relocalize: bool = False,
                  reloc_window: int = 3, reloc_interval: int = 8,
-                 reloc_min_inliers: int = 2000):
+                 reloc_min_inliers: int = 2000,
+                 reloc_warmup: bool = False):
         """``tracking``: "frame_to_frame" (reference
         1camera-detectsSceneChanges.py odometry chaining) or
         "frame_to_model" — odometry predicts, then projective point-to-plane
@@ -78,7 +79,12 @@ class MonoOdometryTSDF:
         :class:`tracking.relocalize.Relocalizer` re-registers the incoming
         frame against the fused model at the same cadence until it
         recovers. The reference can only reset the scene at this point
-        (1camera-detectsSceneChanges.py:202-212)."""
+        (1camera-detectsSceneChanges.py:202-212).
+
+        ``reloc_warmup``: pre-compile the relocalization path at
+        construction (:meth:`tracking.relocalize.Relocalizer.warmup`) so the
+        first loss episode recovers in ~1 s instead of freezing for the
+        ~55 s first-shape compile (persistent-cache misses only)."""
         assert tracking in ("frame_to_frame", "frame_to_model")
         assert not (relocalize and tracking != "frame_to_frame"), \
             "relocalize requires the fused frame_to_frame step"
@@ -119,6 +125,8 @@ class MonoOdometryTSDF:
         self._consec_fail = 0  # consecutive gate rejections seen by checks
         self._fit_checked = 0  # _fits_dev prefix already consumed by checks
         self._relocalizer = None  # lazily-built Relocalizer
+        if relocalize and reloc_warmup:
+            self._get_relocalizer().warmup()
 
     # -- lazy host views (each read syncs the device once) --------------------
 

@@ -104,6 +104,50 @@ class Relocalizer:
         # they depend on; one entry (episodes don't interleave).
         self._model_cache = None  # (key, (mpts, mmask, m_ds, m_dm, m_f, vox))
 
+    def warmup(self, vol=None) -> float:
+        """Pre-compile the full attempt path; returns elapsed seconds.
+
+        The first attempt of a process's first loss episode otherwise pays
+        every trace+compile in the ladder (~55 s measured on the real chip
+        at 640x576 — the live scanner freezes for a minute exactly when the
+        user is waving the camera trying to recover). All shape-bearing
+        inputs are known at construction (frame shape from the intrinsics,
+        cloud budgets from the constructor), and every scale parameter
+        (ladder voxel, radii, thresholds) rides as a traced scalar, so ONE
+        dummy attempt compiles everything a real episode will dispatch.
+        Runs against ``vol`` when given (shares the extraction-prefix bucket
+        with the live scene) or a scratch single-frame volume otherwise;
+        counters/RNG/model-cache are restored so warmup is invisible to the
+        episode logic and to determinism.
+        """
+        import time
+
+        from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf
+
+        t0 = time.perf_counter()
+        h, w = self.rays.shape[:2]
+        # gently curved tilted plane: full-valid, non-degenerate normals and
+        # spread FPFH histograms (a flat plane would still compile, but NaN
+        # guards in the PCA/RANSAC path get exercised on realistic values)
+        u = np.linspace(0.0, 1.0, w, dtype=np.float32)[None, :]
+        v = np.linspace(0.0, 1.0, h, dtype=np.float32)[:, None]
+        depth = (1.0 + 0.25 * u + 0.15 * v
+                 + 0.05 * np.sin(6.0 * np.pi * u) * np.cos(4.0 * np.pi * v))
+        depth = jnp.asarray(depth, jnp.float32)
+        if vol is None:
+            vol = tsdf.create(self.cfg.tsdf)
+            vol = tsdf.integrate_frame(
+                vol, depth, jnp.zeros((h, w, 3), jnp.float32), self.rays,
+                jnp.eye(4, dtype=jnp.float32), self.intr, self.cfg.tsdf)
+        state = (self._key, self.n_attempts, self.n_success,
+                 self.last_reject, self._model_cache)
+        try:
+            self.attempt(vol, depth, T_hint=np.eye(4))
+        finally:
+            (self._key, self.n_attempts, self.n_success,
+             self.last_reject, self._model_cache) = state
+        return time.perf_counter() - t0
+
     def _fit_voxel(self, pts, mask) -> float:
         """Smallest ladder voxel at which the cloud fits the feature budget
         with headroom. A saturated voxel_downsample_arrays silently drops

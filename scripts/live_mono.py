@@ -37,6 +37,12 @@ def main():
                          "live frame against the fused model (fusion pauses "
                          "while the pose is untrusted; the reference can "
                          "only reset the scene here)")
+    ap.add_argument("--reloc-warmup", action="store_true",
+                    help="with --relocalize: pre-compile the recovery path "
+                         "at startup so the FIRST loss episode recovers in "
+                         "~1s instead of pausing ~1min on fresh-shape "
+                         "compiles (subsequent runs hit the persistent "
+                         "compilation cache either way)")
     args = ap.parse_args()
 
     frames, intr = make_source(args)
@@ -55,7 +61,8 @@ def main():
                  f"high water {streaming.high_water} blocks")
     pipe = MonoOdometryTSDF(intr, cfg, backend=args.backend,
                             tracking=args.tracking, streaming=streaming,
-                            relocalize=args.relocalize)
+                            relocalize=args.relocalize,
+                            reloc_warmup=args.relocalize and args.reloc_warmup)
     viewer = make_viewer(args, "mono odometry+TSDF")
     saver = ResultSaver(args.output)
     state = {"mesh_mode": False}

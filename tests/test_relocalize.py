@@ -185,3 +185,36 @@ def test_pipeline_transient_rejection_resumes_fusion(cam):
     t_err, r_err = _pose_err(pipe.T_world_cam, world[11])
     assert t_err < 0.06, f"translation error {t_err}"
     assert r_err < 0.12, f"rotation error {r_err}"
+
+
+def test_warmup_is_invisible_to_episode_state(cam):
+    """warmup() must compile/dispatch the full attempt path without leaking
+    anything observable: counters, last_reject, the RNG stream (determinism
+    of later episodes), and the per-episode model cache all restored."""
+    from azurekinect3dreconstruction_tpu.tracking.relocalize import Relocalizer
+
+    reloc = Relocalizer(cam.intrinsics, CFG, min_inliers=500,
+                        model_points=16384, restarts=1)
+    reloc.last_reject = "sentinel"
+    key_before = np.asarray(reloc._key).copy()
+    dt = reloc.warmup()
+    assert dt > 0.0
+    assert reloc.n_attempts == 0 and reloc.n_success == 0
+    assert reloc.last_reject == "sentinel"
+    assert reloc._model_cache is None
+    assert np.array_equal(np.asarray(reloc._key), key_before)
+
+
+def test_pipeline_reloc_warmup_flag(cam, monkeypatch):
+    """reloc_warmup=True must build the relocalizer eagerly and warm it at
+    construction (the real warmup cost is covered by the direct test)."""
+    from azurekinect3dreconstruction_tpu.pipelines import MonoOdometryTSDF
+    from azurekinect3dreconstruction_tpu.tracking.relocalize import Relocalizer
+
+    called = []
+    monkeypatch.setattr(Relocalizer, "warmup",
+                        lambda self, vol=None: called.append(1) or 0.0)
+    pipe = MonoOdometryTSDF(cam.intrinsics, CFG, backend="xla",
+                            relocalize=True, reloc_warmup=True)
+    assert called == [1]
+    assert pipe._relocalizer is not None
