@@ -198,6 +198,23 @@ def main():
     slam_dt = (s3 - s1) / (2 * 15)
     slam_fps = 1.0 / slam_dt
 
+    _mark("trajectory accuracy")
+    # ---- tracking ACCURACY over the full 64-pose sweep ----------------------
+    # the reference never quantifies tracking at all (printf fitness only);
+    # ATE/RPE (utils/evaluation, TUM RGB-D semantics) against the synthetic
+    # ground truth make drift a tracked bench number, not a vibe. The SLAM
+    # batch's world frame is camera-0, so GT is inv(sweep[0]) @ sweep[i].
+    from azurekinect3dreconstruction_tpu.utils.evaluation import ate, rpe
+
+    intens_all = jnp.stack([rgb_to_intensity(c_) for c_ in colors])
+    _va, traj_all, _fa = slam(tsdf.create(cfg), jnp.eye(4, dtype=jnp.float32),
+                              intens_all, depths, colors, rays)
+    est = np.asarray(traj_all, np.float64)
+    gt0 = np.linalg.inv(np.asarray(sweep[0], np.float64))
+    gt = np.stack([gt0 @ np.asarray(T, np.float64) for T in sweep[1:]])
+    ate_r = ate(est, gt)
+    rpe_r = rpe(est, gt)
+
     _mark("sharded slam")
     # ---- sharded SLAM step on a (1x1) mesh (VERDICT r2 weak #1) -------------
     # same Pallas odometry + worklist fusion as the flat step, but routed
@@ -384,6 +401,10 @@ def main():
         "blocks_growing": bool(growing),
         "slam_fps_odometry_plus_fusion": round(slam_fps, 2),
         "slam_frame_ms": round(slam_dt * 1000.0, 2),
+        "slam_ate_rmse_mm": round(ate_r["rmse"] * 1000.0, 2),
+        "slam_final_drift_mm": round(ate_r["final_drift"] * 1000.0, 2),
+        "slam_rpe_trans_mm": round(rpe_r["trans_rmse"] * 1000.0, 3),
+        "slam_rpe_rot_deg": round(np.degrees(rpe_r["rot_rmse"]), 4),
         "sharded_slam_fps": round(sharded_fps, 2),
         "sharded_slam_frame_ms": round(sharded_dt * 1000.0, 2),
         "pipeline_fps": round(pipeline_fps, 2),

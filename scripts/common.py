@@ -70,6 +70,9 @@ def make_source(args) -> Tuple[Iterator[Tuple[np.ndarray, np.ndarray]], Intrinsi
         intr = Intrinsics.azure_kinect_depth_nfov().scaled(args.scale)
         cam = SyntheticCamera(intrinsics=intr)
         poses = orbit_trajectory(args.frames, radius=0.35, angle_span=1.0)
+        # ground truth is knowable here and nowhere else — expose it so
+        # scripts can save a gt_trajectory for eval_trajectory.py scoring
+        args.gt_poses = [np.asarray(T, np.float64) for T in poses]
         it = (cam.capture(T) for T in poses)
         return it, intr
     if spec.startswith("replay:"):

@@ -75,6 +75,18 @@ def main():
         saver.save_point_cloud(PointCloudHost(points=pts, colors=cols),
                                kind="volume_pcd")
         saver.save_trajectory(pipe.trajectory)
+        gt = getattr(args, "gt_poses", None)
+        if gt:
+            # synthetic source: save index-aligned ground truth in the
+            # pipeline's frame (world = camera-0) so
+            # scripts/eval_trajectory.py can score the run directly
+            import numpy as np
+
+            n = pipe.frame_index
+            P0i = np.linalg.inv(gt[0])
+            saver.save_trajectory(
+                [np.eye(4)] + [P0i @ P for P in gt[:n]],
+                kind="gt_trajectory")
         saver.save_preview(mesh)
         log_info("saved mesh + cloud + trajectory + preview")
 

@@ -186,3 +186,22 @@ def test_generate_checkerboard(tmp_path):
     run_script("generate_checkerboard.py", "--output", out, "--sizes", "60")
     assert glob.glob(os.path.join(out, "*.npy")) or glob.glob(
         os.path.join(out, "*.p*m")) or os.listdir(out)
+
+
+def test_eval_trajectory_scores_synthetic_run(results_dir):
+    """live_mono on the synthetic source saves a ground-truth trajectory
+    next to the estimate; eval_trajectory.py must score the pair and the
+    4-frame quarter-scale run must track to sub-centimeter ATE."""
+    import json
+
+    est = os.path.join(results_dir, "latest_trajectory.txt")
+    gt = os.path.join(results_dir, "latest_gt_trajectory.txt")
+    assert os.path.exists(gt), os.listdir(results_dir)
+    r = run_script("eval_trajectory.py", est, gt, "--json")
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["n_poses"] == 5  # initial identity + 4 frames
+    assert m["ate_rmse_m"] < 0.01, m
+    assert m["rpe_rot_rmse_deg"] < 1.0, m
+    # human-readable mode exercises the other formatting path
+    r2 = run_script("eval_trajectory.py", est, gt)
+    assert "ATE rmse" in r2.stdout
