@@ -123,6 +123,8 @@ class MonoOdometryTSDF:
         self._lost_dev = jnp.float32(0.0)  # device fusion latch (reloc mode)
         self._lost_frames = 0  # frames since the loss was declared
         self._consec_fail = 0  # consecutive gate rejections seen by checks
+        self._latch_up = False  # host mirror of the device fusion latch
+        self._paused_pending = 0  # latched frames not yet counted
         self._fit_checked = 0  # _fits_dev prefix already consumed by checks
         self._relocalizer = None  # lazily-built Relocalizer
         if relocalize and reloc_warmup:
@@ -176,6 +178,8 @@ class MonoOdometryTSDF:
         self._lost_dev = jnp.float32(0.0)
         self._lost_frames = 0
         self._consec_fail = 0
+        self._latch_up = False
+        self._paused_pending = 0
         self._fit_checked = 0
 
     def _get_step(self):
@@ -335,33 +339,57 @@ class MonoOdometryTSDF:
 
     def _check_tracking(self) -> None:
         """Cadence host check (the one sync relocalization mode adds): pull
-        the fitness scalars accumulated since the last check and update the
-        consecutive-rejection count. ``reloc_window`` straight rejections
-        declare the pose LOST; otherwise any transient rejection cleared
-        here re-opens the device fusion latch (frames between the rejection
-        and this check were tracked but not fused — counted, not hidden)."""
+        the fitness scalars accumulated since the last check and scan them
+        for rejection streaks. The WORST streak in the window decides —
+        not the trailing one: a ``reloc_window``-long streak that ENDS
+        before the check still corrupted the pose chain (frame-to-frame
+        odometry re-locks happily against a corrupt previous frame), so it
+        declares the pose LOST even if the last frames passed the gate.
+        Otherwise the device fusion latch re-opens only when the window
+        ends OUTSIDE a streak: if the last frame was a rejection the streak
+        may still be growing, and clearing the latch now would let a
+        gate-passing corrupt re-lock fuse before the next check can
+        declare the loss — fusion stays paused and the paused frames are
+        counted when the streak resolves (counted, not hidden)."""
         fresh = self._fits_dev[self._fit_checked:]
         self._fit_checked = len(self._fits_dev)
         if not fresh:
             return
         f = np.asarray(jnp.stack(fresh))
         bad = (f <= self.MIN_FITNESS) | ~np.isfinite(f)
+        streak = self._consec_fail
+        worst = streak
         for b in bad:
-            self._consec_fail = self._consec_fail + 1 if b else 0
-        if self._consec_fail >= self.reloc_window:
+            streak = streak + 1 if b else 0
+            worst = max(worst, streak)
+        self._consec_fail = streak
+        # host mirror of the device latch (which SETS at the first rejected
+        # frame and only the host clears): frames from there on are paused
+        if self._latch_up:
+            self._paused_pending += len(bad)
+        elif bad.any():
+            self._latch_up = True
+            self._paused_pending += len(bad) - int(np.argmax(bad))
+        if worst >= self.reloc_window:
             self.lost = True
             self._lost_frames = 0
+            self._paused_pending = 0  # these frames are the lost episode now
             self.telemetry.count("tracking_lost")
-            log_warning(f"tracking LOST ({self._consec_fail} consecutive "
-                        "rejections); fusion paused, relocalizing")
-        elif bad.any():
-            # transient rejection: the latch paused fusion from the first
-            # rejected frame through now — resume it
-            n_paused = len(bad) - int(np.argmax(bad))
-            self.telemetry.count("fusion_paused_frames", n_paused)
-            self._lost_dev = jnp.float32(0.0)
-            log_info(f"transient tracking rejection: {n_paused} frame(s) "
-                     "tracked but not fused")
+            log_warning(f"tracking LOST ({worst} consecutive rejections); "
+                        "fusion paused, relocalizing")
+        elif self._latch_up:
+            if bad.size and bad[-1]:
+                log_info(f"tracking rejection streak ({streak}) reaches the "
+                         "check boundary: fusion stays paused")
+            else:
+                self.telemetry.count("fusion_paused_frames",
+                                     self._paused_pending)
+                log_info(f"transient tracking rejection: "
+                         f"{self._paused_pending} frame(s) tracked but not "
+                         "fused")
+                self._paused_pending = 0
+                self._latch_up = False
+                self._lost_dev = jnp.float32(0.0)
 
     def _process_lost(self, depth_raw, color_raw):
         """Frame handling while the pose is untrusted: the fused step is
@@ -372,6 +400,19 @@ class MonoOdometryTSDF:
         model relocalization. On success the recovered frame integrates and
         re-seeds frame-to-frame tracking."""
         cam = self.cfg.camera
+        if self.streaming is not None:
+            # keep ticking with the STALE pose (the loss site): the
+            # relocalizer's model is built from device-resident blocks
+            # only, so geometry evicted near where tracking was lost must
+            # stream back in for recovery to be possible — and the loss
+            # site is the best available guess of where the camera still
+            # is. Fusion is paused, so the pool cannot grow past the
+            # high-water mark while lost (at most one eviction pass runs).
+            with self.telemetry.time_block("streaming"):
+                self.streaming.vol = self.volume
+                if self.streaming.maybe_tick(
+                        lambda: self.T_world_cam[:3, 3]):
+                    self.volume = self.streaming.vol
         recovered = False
         if self._lost_frames % self.reloc_interval == 0:
             frame = RGBDFrame.from_raw(depth_raw, color_raw, cam.depth_scale,
@@ -391,6 +432,8 @@ class MonoOdometryTSDF:
                 self.lost = False
                 self._lost_dev = jnp.float32(0.0)
                 self._consec_fail = 0
+                self._latch_up = False
+                self._paused_pending = 0
                 recovered = True
                 self.telemetry.count("relocalized")
                 log_info(f"relocalized after {self._lost_frames + 1} lost "

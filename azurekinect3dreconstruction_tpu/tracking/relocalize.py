@@ -34,8 +34,10 @@ framework's existing registration stack into exactly that:
    a fitness ratio would reject every correct recovery.
 
 The pipeline side (``MonoOdometryTSDF(relocalize=True)``) decides WHEN this
-runs; this class is stateless across attempts apart from its RNG and
-counters, so it can also be driven standalone against any volume + frame.
+runs; apart from its RNG, counters and a model-feature cache keyed on the
+volume's (immutable) array identity — so handing it a different or updated
+volume can never reuse stale geometry — the class carries no state across
+attempts and can be driven standalone against any volume + frame.
 """
 
 from __future__ import annotations
@@ -89,10 +91,11 @@ class Relocalizer:
         self.min_depth_pixels = min_depth_pixels
         self.restarts = restarts
         # pixel stride bounds the frame cloud fed to the voxel grid at
-        # ~32k points whatever the image scale (full 640x576 -> 4, the
-        # quarter-scale test frames -> 1)
+        # <= ~32k points whatever the image scale (full 640x576 -> 4, the
+        # quarter-scale test frames -> 1); ceil because the bound is the
+        # contract (round() gave 3 -> 41k points at full res)
         self.stride = stride or max(
-            1, round(float(np.sqrt(intr.height * intr.width / 32768.0))))
+            1, int(np.ceil(np.sqrt(intr.height * intr.width / 32768.0))))
         self._key = jax.random.PRNGKey(seed)
         self.n_attempts = 0
         self.n_success = 0
@@ -100,9 +103,14 @@ class Relocalizer:
         # model-side work cache: while the pose is lost the pipeline PAUSES
         # fusion, so across an episode's retries the volume (and the stale
         # pose hint that orients the model normals) is frozen — the model
-        # extraction + features recompute for nothing. Keyed by everything
-        # they depend on; one entry (episodes don't interleave).
-        self._model_cache = None  # (key, (mpts, mmask, m_ds, m_dm, m_f, vox))
+        # extraction + features recompute for nothing. Keyed by the IDENTITY
+        # of the volume's tsdf array (jax arrays are immutable, so any
+        # fusion/eviction/reload produces a new array object) + the hint
+        # position; the array itself is pinned in the entry so its id cannot
+        # be recycled while cached. One entry (episodes don't interleave).
+        # Layout: (key, pinned_tsdf, mpts, mmask, fitted_vox,
+        #          {vox_rung: (m_ds, m_dm, m_f)}).
+        self._model_cache = None
 
     def warmup(self, vol=None) -> float:
         """Pre-compile the full attempt path; returns elapsed seconds.
@@ -201,13 +209,13 @@ class Relocalizer:
         # volume and the stale hint are frozen; see _model_cache)
         cam_pos = (np.zeros(3) if T_hint is None
                    else np.asarray(T_hint, np.float64)[:3, 3])
-        ck = (int(vol.n_blocks), cam_pos.tobytes())
+        ck = (id(vol.tsdf), cam_pos.tobytes())
         if self._model_cache is None or self._model_cache[0] != ck:
             mpts, mmask, _ovf = mc.extract_surface_samples(
                 vol, self.cfg.tsdf, self.model_points)
-            self._model_cache = (ck, mpts, mmask,
+            self._model_cache = (ck, vol.tsdf, mpts, mmask,
                                  self._fit_voxel(mpts, mmask), {})
-        _, mpts, mmask, m_vox, m_feats = self._model_cache
+        _, _, mpts, mmask, m_vox, m_feats = self._model_cache
 
         # frame cloud (camera frame); normals orient to the camera origin
         src = backproject_depth(depth, self.rays)

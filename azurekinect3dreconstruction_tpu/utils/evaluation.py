@@ -82,7 +82,13 @@ def ate(traj_est: Sequence[np.ndarray], traj_gt: Sequence[np.ndarray],
         raise ValueError(f"trajectory lengths differ: "
                          f"{p_est.shape[0]} vs {p_gt.shape[0]}")
     final_drift = float(np.linalg.norm(p_est[-1] - p_gt[-1]))
-    if align and p_est.shape[0] >= 3:
+    if align:
+        if p_est.shape[0] < 3:
+            # refusing beats silently returning the UNALIGNED error under
+            # the aligned label
+            raise ValueError(f"aligned ATE needs >= 3 poses (got "
+                             f"{p_est.shape[0]}); pass align=False to "
+                             "compare in the shared world frame")
         s, R, t = align_umeyama(p_est, p_gt)
         p_est = (s * (R @ p_est.T)).T + t
     err = np.linalg.norm(p_est - p_gt, axis=1)

@@ -98,3 +98,6 @@ def test_input_validation():
         rpe(gt, gt, delta=8)
     with pytest.raises(ValueError):
         align_umeyama(gt[:2, :3, 3], gt[:2, :3, 3])
+    with pytest.raises(ValueError):  # aligned ATE on an unalignable pair
+        ate(gt[:2], gt[:2])
+    assert ate(gt[:2], gt[:2], align=False)["rmse"] < 1e-12

@@ -218,3 +218,124 @@ def test_pipeline_reloc_warmup_flag(cam, monkeypatch):
                             relocalize=True, reloc_warmup=True)
     assert called == [1]
     assert pipe._relocalizer is not None
+
+
+def test_mid_window_rejection_streak_declares_loss(cam):
+    """A >= reloc_window rejection streak that ENDS before the cadence
+    check must still declare the pose lost: frame-to-frame odometry
+    re-locks against the corrupt chain afterwards (the trailing frames
+    PASS the gate), but the pose is wrong — the check must judge the worst
+    streak in the window, not the trailing one."""
+    from azurekinect3dreconstruction_tpu.pipelines import MonoOdometryTSDF
+
+    poses = orbit_trajectory(16, radius=0.3, angle_span=1.1)
+    pipe = MonoOdometryTSDF(cam.intrinsics, CFG, backend="xla",
+                            relocalize=True, reloc_window=3,
+                            reloc_interval=8, reloc_min_inliers=500)
+    h, w = cam.intrinsics.height, cam.intrinsics.width
+    dark = (np.zeros((h, w), np.uint16), np.zeros((h, w, 3), np.uint8))
+
+    for i in range(8):  # healthy first window
+        pipe.process_frame(*cam.capture(poses[i]))
+    assert not pipe.lost
+    nb = int(pipe.volume.n_blocks)
+    # 4 dark frames (streak 4 + the post-dark re-lock frame rejects too),
+    # then good frames so the window ENDS with gate-passing frames; the
+    # cadence check runs at frame 16
+    for _ in range(4):
+        pipe.process_frame(*dark)
+    for i in range(12, 16):
+        pipe.process_frame(*cam.capture(poses[i]))
+    assert pipe.lost, "mid-window streak of 4 >= window 3 must declare loss"
+    assert pipe.telemetry._counters["tracking_lost"] == 1
+    # none of the post-streak gate-passing frames fused (latch held)
+    assert int(pipe.volume.n_blocks) == nb
+
+
+def test_latch_survives_check_boundary_mid_streak(cam):
+    """A short rejection streak that reaches the check boundary must NOT
+    re-open fusion at the check: the streak may still be growing, and a
+    gate-passing corrupt re-lock right after the check would fuse at a
+    wrong pose. The latch stays up until a check sees the streak resolved;
+    the extra paused frames are counted, and the pipeline never declares
+    loss for a transient shorter than the window."""
+    from azurekinect3dreconstruction_tpu.pipelines import MonoOdometryTSDF
+
+    poses = orbit_trajectory(16, radius=0.25, angle_span=0.8)
+    pipe = MonoOdometryTSDF(cam.intrinsics, CFG, backend="xla",
+                            relocalize=True, reloc_window=4,
+                            reloc_interval=4, reloc_min_inliers=500)
+    h, w = cam.intrinsics.height, cam.intrinsics.width
+    dark = (np.zeros((h, w), np.uint16), np.zeros((h, w, 3), np.uint8))
+
+    for i in range(6):
+        pipe.process_frame(*cam.capture(poses[i]))
+    nb = int(pipe.volume.n_blocks)
+    for _ in range(2):  # frames 6,7: streak of 2 touching the check at 8
+        pipe.process_frame(*dark)
+    assert not pipe.lost
+    assert pipe._latch_up, "check at the streak edge must keep the latch up"
+    # frames 8-10: frame 8 rejects (prev is dark) -> streak 3 < window 4;
+    # 9,10 pass the gate but the latch is still up -> must not fuse
+    for i in range(8, 11):
+        pipe.process_frame(*cam.capture(poses[i]))
+    assert int(pipe.volume.n_blocks) == nb, \
+        "gate-passing frames must not fuse while the latch is up"
+    # frame 11 completes the window; its check sees the streak resolved:
+    # latch clears, and the 6 paused frames (6-11) are counted
+    pipe.process_frame(*cam.capture(poses[11]))
+    assert not pipe.lost
+    assert not pipe._latch_up
+    assert pipe.telemetry._counters["tracking_lost"] == 0
+    assert pipe.telemetry._counters["fusion_paused_frames"] == 6
+    # fusion resumes after the clear
+    for i in range(12, 16):
+        pipe.process_frame(*cam.capture(poses[i]))
+    assert int(pipe.volume.n_blocks) > nb
+
+
+def test_model_cache_keyed_on_volume_contents(cam):
+    """Re-fusing into the SAME blocks (n_blocks unchanged) must invalidate
+    the relocalizer's model cache: the cache key is the identity of the
+    volume's immutable tsdf array, not the block count."""
+    from azurekinect3dreconstruction_tpu.core.camera import pixel_rays
+    from azurekinect3dreconstruction_tpu.tracking.relocalize import Relocalizer
+
+    rays = pixel_rays(cam.intrinsics)
+    poses = orbit_trajectory(4, radius=0.3, angle_span=0.4)
+    vol = tsdf.create(CFG.tsdf)
+    d, c = cam.capture(poses[0])
+    dm = d.astype(np.float32) / 1000.0
+    cf = c.astype(np.float32) / 255.0
+    vol = tsdf.integrate_frame(vol, dm, cf, rays, np.eye(4, dtype=np.float32),
+                               cam.intrinsics, CFG.tsdf, backend="xla")
+    reloc = Relocalizer(cam.intrinsics, CFG, rays=rays, min_inliers=500,
+                        model_points=16384, restarts=1)
+    reloc.attempt(vol, dm, T_hint=np.eye(4))
+    key1 = reloc._model_cache[0]
+    # SAME frame again: weights change, block set does not
+    nb = int(vol.n_blocks)
+    vol2 = tsdf.integrate_frame(vol, dm, cf, rays,
+                                np.eye(4, dtype=np.float32),
+                                cam.intrinsics, CFG.tsdf, backend="xla")
+    assert int(vol2.n_blocks) == nb
+    reloc.attempt(vol2, dm, T_hint=np.eye(4))
+    assert reloc._model_cache[0] != key1, \
+        "updated volume contents must miss the model cache"
+    # same volume object again: hit (key stable)
+    key2 = reloc._model_cache[0]
+    reloc.attempt(vol2, dm, T_hint=np.eye(4))
+    assert reloc._model_cache[0] == key2
+
+
+def test_auto_stride_respects_point_budget():
+    """The documented contract: the strided frame cloud stays <= ~32k
+    points at any image scale (full res must pick 4, not 3)."""
+    from azurekinect3dreconstruction_tpu.core.camera import Intrinsics
+    from azurekinect3dreconstruction_tpu.tracking.relocalize import Relocalizer
+
+    full = Intrinsics.azure_kinect_depth_nfov()
+    r = Relocalizer(full, CFG)
+    assert r.stride == 4
+    n_pts = -(-full.height // r.stride) * -(-full.width // r.stride)
+    assert n_pts <= 36000  # ~32k with ragged-edge slack
