@@ -134,6 +134,13 @@ class OfflineBundle:
     # -- finalize: optimize + reintegrate (reference :285-344) ---------------
     def finalize(self, extract: bool = True):
         log_info("finalizing: global optimization + reintegration")
+        # one last loop sweep before the global solve: the cadence check
+        # never sees the final frames, and a scan usually ENDS where it
+        # started — the strongest loop edge is the one that closes the
+        # whole trajectory (the reference misses it: its shutdown path only
+        # re-optimizes edges found mid-run, bundlefusion_reconstruction.py:285-305)
+        if len(self.graph.nodes) > self.loop_min_gap:
+            self._detect_loops()
         self.graph.save(os.path.join(self.output_dir, "pose_graph.json"))
         self.graph = pg.optimize(self.graph, max_iterations=50,
                                  edge_prune_threshold=0.25,

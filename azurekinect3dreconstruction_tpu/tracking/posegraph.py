@@ -254,7 +254,14 @@ def optimize(graph: PoseGraph, max_iterations: int = 30,
 def find_loop_closures(positions, radius: float = 0.5, min_gap: int = 20,
                        exclude: Optional[set] = None) -> List[Tuple[int, int]]:
     """Positional loop-closure candidates: |p_i - p_j| < radius with
-    j - i >= min_gap (reference bundlefusion_reconstruction.py:131-150)."""
+    j - i >= min_gap (reference bundlefusion_reconstruction.py:131-150).
+
+    Candidates come back sorted by position distance (closest first), not
+    index order: callers bound the odometry-verified attempts per check
+    (OfflineBundle takes the first 3), and the nearest revisits are the
+    pairs whose views overlap enough for the loop-edge odometry to verify —
+    index order front-loads the WIDEST baselines inside the radius, which
+    fail verification and waste the attempt budget."""
     pos = np.asarray(positions)
     out = []
     exclude = exclude or set()
@@ -262,6 +269,7 @@ def find_loop_closures(positions, radius: float = 0.5, min_gap: int = 20,
         for i in range(0, j - min_gap):
             if (i, j) in exclude:
                 continue
-            if np.linalg.norm(pos[j] - pos[i]) < radius:
-                out.append((i, j))
-    return out
+            d = np.linalg.norm(pos[j] - pos[i])
+            if d < radius:
+                out.append((d, i, j))
+    return [(i, j) for _, i, j in sorted(out)]
