@@ -205,3 +205,14 @@ def test_eval_trajectory_scores_synthetic_run(results_dir):
     # human-readable mode exercises the other formatting path
     r2 = run_script("eval_trajectory.py", est, gt)
     assert "ATE rmse" in r2.stdout
+
+
+def test_cloud_accumulate_saves_model(tmp_path):
+    """The reference's Reconstruction.py workflow as a CLI: accumulate a
+    registered global cloud from keyframes, save the normal-oriented
+    colored model on exit."""
+    out = str(tmp_path)
+    run_script("cloud_accumulate.py", *QUICK, "--frames", "6",
+               "--keyframe-interval", "2", "--output", out)
+    names = os.listdir(out)
+    assert any("model" in n and n.endswith(".ply") for n in names), names
