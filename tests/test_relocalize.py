@@ -339,3 +339,41 @@ def test_auto_stride_respects_point_budget():
     assert r.stride == 4
     n_pts = -(-full.height // r.stride) * -(-full.width // r.stride)
     assert n_pts <= 36000  # ~32k with ragged-edge slack
+
+
+def test_streaming_ticks_and_recovery_while_lost(cam):
+    """streaming + relocalize: while the pose is lost, the streaming
+    manager must keep ticking with the stale pose (otherwise geometry
+    evicted near the loss site can never stream back for the relocalizer's
+    model, and the pipeline stays lost forever), and recovery must still
+    work through the streaming-adopted volume."""
+    from azurekinect3dreconstruction_tpu.pipelines import MonoOdometryTSDF
+    from azurekinect3dreconstruction_tpu.tsdf.streaming import StreamingTSDF
+
+    streaming = StreamingTSDF(CFG.tsdf, evict_dist=3.0, reload_dist=2.5,
+                              check_interval=2)
+    pipe = MonoOdometryTSDF(cam.intrinsics, CFG, backend="xla",
+                            streaming=streaming, relocalize=True,
+                            reloc_window=2, reloc_interval=4,
+                            reloc_min_inliers=500)
+    poses = orbit_trajectory(12, radius=0.3, angle_span=1.0)
+    world = [np.linalg.inv(poses[0]) @ T for T in poses]
+    h, w = cam.intrinsics.height, cam.intrinsics.width
+    dark = (np.zeros((h, w), np.uint16), np.zeros((h, w, 3), np.uint8))
+
+    for i in range(6):
+        pipe.process_frame(*cam.capture(poses[i]))
+    for _ in range(6):
+        pipe.process_frame(*dark)
+    assert pipe.lost
+    # the tick cadence keeps running through lost frames (manager counter
+    # advances and wraps at check_interval=2 as ticks execute)
+    before = streaming._since_check
+    pipe.process_frame(*dark)
+    assert streaming._since_check != before or streaming._since_check == 0
+    # recovery through the streaming volume
+    for i in range(8, 12):
+        pipe.process_frame(*cam.capture(poses[i]))
+    assert not pipe.lost, (pipe._relocalizer and pipe._relocalizer.last_reject)
+    t_err, r_err = _pose_err(pipe.T_world_cam, world[11])
+    assert t_err < 0.06 and r_err < 0.12, (t_err, r_err)
