@@ -57,6 +57,11 @@ class RGBDFrame:
             luma = (299 * ci[..., 0] + 587 * ci[..., 1] + 114 * ci[..., 2])
             intensity = luma.astype(jnp.float32) * np.float32(1.0 / 255000.0)
         else:
+            # clip BEFORE the luma so out-of-range float input (e.g. [0,255]
+            # handed in un-normalized) yields intensity consistent with the
+            # stored clipped color instead of a silently mis-scaled
+            # photometric signal
+            c = jnp.clip(c, 0.0, 1.0)
             intensity = (0.299 * c[..., 0] + 0.587 * c[..., 1]
                          + 0.114 * c[..., 2])
         c = jnp.clip(c, 0.0, 1.0)

@@ -175,7 +175,8 @@ def _integrate_psum(local: TSDFVolume, depth, color, pose,
 
 def _integrate_pallas_seq(local: TSDFVolume, depths_all, colors_all,
                           poses_all, intr: Intrinsics, cfg: TSDFConfig,
-                          worklist_size: int) -> TSDFVolume:
+                          worklist_size: int,
+                          interpret: bool = False) -> TSDFVolume:
     """TPU fusion body: sequentially integrate EVERY camera's (all_gathered)
     frame into my shard with the Pallas worklist kernel. Replicas along the
     cam axis compute identical pool states, so no pool-sized psum is needed —
@@ -193,17 +194,18 @@ def _integrate_pallas_seq(local: TSDFVolume, depths_all, colors_all,
         local = integrate_worklist(local, depths_all[ci], colors_all[ci],
                                    poses_all[ci], intr, cfg,
                                    worklist_size=worklist_size,
-                                   interpret=False)
+                                   interpret=interpret)
     return local
 
 
-def _resolve_backend(backend: str) -> bool:
-    """True = use the Pallas kernels (TPU), False = XLA reference path.
-    Thin alias over the shared policy (core/backend.py) so every step
-    builder resolves identically."""
+def _resolve_backend(backend: str):
+    """(use_pallas, interpret) — thin alias over the shared policy
+    (core/backend.py) so every step builder resolves identically,
+    INCLUDING the forced-Pallas-off-TPU parity case, whose kernels must
+    run under the interpreter instead of failing Mosaic lowering."""
     from azurekinect3dreconstruction_tpu.core.backend import resolve_backend
 
-    return resolve_backend(backend)[0]
+    return resolve_backend(backend)
 
 
 _VOL_SPECS = (P("blk"), P("blk"), P("blk"), P("blk"), P("blk"), P("blk"),
@@ -225,7 +227,7 @@ def make_sharded_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
     psum-fused XLA elsewhere — identical semantics, see docstrings).
     """
     n_blk = mesh.shape["blk"]
-    pallas = _resolve_backend(backend)
+    pallas, interp = _resolve_backend(backend)
 
     def step(vol: TSDFVolume, depths, colors, poses, rays):
         def shard_fn(tk, tv, nb, bc, ts, wg, co, ovf, depth, color, pose, rays):
@@ -237,7 +239,7 @@ def make_sharded_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
                 call_ = jax.lax.all_gather(color[0], "cam")
                 Tall = jax.lax.all_gather(pose[0], "cam")
                 local = _integrate_pallas_seq(local, dall, call_, Tall, intr,
-                                              cfg, worklist_size)
+                                              cfg, worklist_size, interp)
             else:
                 local = _integrate_psum(local, depth[0], color[0], pose[0],
                                         intr, cfg)
@@ -295,13 +297,14 @@ def make_sharded_slam_batch(mesh: Mesh, intr: Intrinsics, pcfg,
     n_blk = mesh.shape["blk"]
     cfg = pcfg.tsdf
     ocfg = pcfg.odometry
-    pallas = _resolve_backend(backend)
+    pallas, interp = _resolve_backend(backend)
     if pallas:
         from azurekinect3dreconstruction_tpu.ops.pallas.odometry_kernels import (
             compute_odometry_tpu,
         )
 
-        odo = lambda pi, pd, i, d: compute_odometry_tpu(pi, pd, i, d, intr, ocfg)
+        odo = lambda pi, pd, i, d: compute_odometry_tpu(pi, pd, i, d, intr,
+                                                         ocfg, interpret=interp)
     else:
         odo = lambda pi, pd, i, d: compute_odometry(pi, pd, i, d, intr, ocfg)
 
@@ -327,7 +330,8 @@ def make_sharded_slam_batch(mesh: Mesh, intr: Intrinsics, pcfg,
                     call_ = jax.lax.all_gather(c, "cam")
                     Tall = jax.lax.all_gather(T, "cam")
                     local2 = _integrate_pallas_seq(local2, dall, call_, Tall,
-                                                   intr, cfg, worklist_size)
+                                                   intr, cfg, worklist_size,
+                                                   interp)
                 else:
                     local2 = _integrate_psum(local2, d, c, T, intr, cfg)
                 return (local2, T, inten, d), (T, fit)

@@ -494,11 +494,17 @@ class MonoOdometryTSDF:
         with self.telemetry.time_block("extract"):
             if self.streaming is not None:
                 self.streaming.vol = self.volume
-                # budgets route through (they only grow); auto_grow is the
-                # manager's behavior anyway — unknown knobs must not be
-                # dropped silently
-                known = {"max_cells", "max_tris", "auto_grow"}
-                assert set(kw) <= known, f"unsupported with streaming: {kw}"
+                # budgets route through (they only grow). auto_grow=False is
+                # NOT supported here: the manager's frozen-cache bit-parity
+                # contract requires complete (never truncated) extraction,
+                # so it always grows on overflow. ValueError (not assert):
+                # a dropped knob must not go silent under python -O.
+                if set(kw) - {"max_cells", "max_tris"}:
+                    raise ValueError(
+                        f"unsupported with streaming: "
+                        f"{sorted(set(kw) - {'max_cells', 'max_tris'})} "
+                        "(budgets only grow; auto_grow=False would truncate "
+                        "the frozen caches)")
                 mesh = self.streaming.extract_mesh(
                     max_cells=kw.get("max_cells"),
                     max_tris=kw.get("max_tris"))

@@ -335,8 +335,14 @@ class IncrementalExtractor:
                     _pack_pull(c_, cells, fracs, edges, n_tris, ovf, ntb))
                 nt = int(packed[8, 0])
                 if packed[8, 1]:  # overflow: grow persistently and redo
-                    setattr(self, budgets[0], cc * 4)
-                    setattr(self, budgets[1], ct * 4)
+                    # x2, not x4: stage C/D cost scales with the PADDED
+                    # budgets (the D_map scatter pays ~4.3 ns per budgeted
+                    # cell, active or not) and this is the PER-FRAME live
+                    # path — one x4 jump would tax every later update with
+                    # up to 4x the need (same ladder rationale as
+                    # marching_cubes.extract_mesh's auto_grow)
+                    setattr(self, budgets[0], cc * 2)
+                    setattr(self, budgets[1], ct * 2)
                     continue
                 if nt > ntb:
                     ntb = _slice_bucket(nt, ct)

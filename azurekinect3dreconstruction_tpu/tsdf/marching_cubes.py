@@ -139,6 +139,40 @@ def _corner_views(fields, R: int):
     return views
 
 
+def _case_mask(t2, w2, alive, nbr, R: int):
+    """Stage-A case/validity math: per-cell 8-bit MC case with invalid or
+    empty/full cells folded to 0 (inert). ONE definition shared by
+    _extract_stage1 and count_active_bricks — the budget fit must count
+    exactly the groups stage B compacts, so the emission rule cannot be
+    allowed to drift between the two."""
+    C3 = t2.shape[1]
+    inside0 = (t2 < 0.0) & (w2 > 0.0) & alive[:, None]
+    valid0 = (w2 > 0.0) & alive[:, None]
+
+    def nbr_field(base, code):
+        s = nbr[:, code]
+        ok = (s >= 0) & alive
+        return jnp.where(ok[:, None], base[jnp.where(ok, s, 0)], False)
+
+    ins_f = {0: inside0}
+    val_f = {0: valid0}
+    for c in range(1, 8):
+        ins_f[c] = nbr_field(inside0, c)
+        val_f[c] = nbr_field(valid0, c)
+    ins_v = _corner_views(ins_f, R)
+    val_v = _corner_views(val_f, R)
+    case = jnp.zeros(t2.shape, jnp.int32)
+    all_valid = jnp.ones(t2.shape, jnp.bool_)
+    for k in range(8):
+        key = tuple(mt.CORNER_OFFSETS[k])
+        case = case | (ins_v[key].astype(jnp.int32) << k)
+        all_valid = all_valid & val_v[key]
+    # a cell has triangles iff its corners' signs are mixed: every case
+    # except 0 and 255 produces geometry — two compares, no table lookup.
+    # Folding validity into the case (0 = inert) saves one worklist array.
+    return jnp.where(all_valid & (case != 255), case, 0)
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_cells", "max_tris", "extract_blocks"))
 def _extract_stage1(vol: TSDFVolume, cfg: TSDFConfig,
                     max_cells: int, max_tris: int,
@@ -195,8 +229,8 @@ def _extract_stage1(vol: TSDFVolume, cfg: TSDFConfig,
     Mc = max_bricks * B3  # worklist cells (group-dense)
 
     # ---- stage A: dense corner fields (elementwise + whole-row gathers) ----
-    inside0 = (t2 < 0.0) & (w2 > 0.0) & alive[:, None]
-    valid0 = (w2 > 0.0) & alive[:, None]
+    # case/validity math lives in _case_mask (shared with count_active_bricks)
+    casem = _case_mask(t2, w2, alive, nbr, R)
     # pack RGB into one f32 plane (exact for 24-bit ints): corner colors then
     # ride the same shift machinery as values, one array per corner not three
     pcol0 = (jnp.round(cE[:, 0] * 255.0) * 65536.0
@@ -208,31 +242,14 @@ def _extract_stage1(vol: TSDFVolume, cfg: TSDFConfig,
         ok = (s >= 0) & alive
         return jnp.where(ok[:, None], base[jnp.where(ok, s, 0)], fill)
 
-    ins_f = {0: inside0}
-    val_f = {0: valid0}
     tv_f = {0: t2}
     pc_f = {0: pcol0}
     for c in range(1, 8):
-        ins_f[c] = nbr_field(inside0, c, False)
-        val_f[c] = nbr_field(valid0, c, False)
         tv_f[c] = nbr_field(t2, c, jnp.float32(0.0))
         pc_f[c] = nbr_field(pcol0, c, jnp.float32(0.0))
-    ins_v = _corner_views(ins_f, R)
-    val_v = _corner_views(val_f, R)
     tv_v = _corner_views(tv_f, R)
     pc_v = _corner_views(pc_f, R)
 
-    case = jnp.zeros((E, C3), jnp.int32)
-    all_valid = jnp.ones((E, C3), jnp.bool_)
-    for k in range(8):
-        key = tuple(mt.CORNER_OFFSETS[k])
-        case = case | (ins_v[key].astype(jnp.int32) << k)
-        all_valid = all_valid & val_v[key]
-
-    # a cell has triangles iff its corners' signs are mixed: every case except
-    # 0 and 255 produces geometry — two compares, no table lookup, no gathers.
-    # Folding validity into the case (0 = inert) saves one worklist array.
-    casem = jnp.where(all_valid & (case != 255), case, 0)
     if emit_mask is not None:
         # restrict OUTPUT to masked blocks; corner data above already came
         # from every alive block, so emitted geometry is unchanged
@@ -537,28 +554,7 @@ def count_active_bricks(vol: TSDFVolume, cfg: TSDFConfig,
     alive = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0)[:, 0] < vol.n_blocks
     nbr = _neighbor_slots(vol.table, coords)
     nbr = jnp.where(nbr < E, nbr, -1)
-    inside0 = (t2 < 0.0) & (w2 > 0.0) & alive[:, None]
-    valid0 = (w2 > 0.0) & alive[:, None]
-
-    def nbr_field(base, code):
-        s = nbr[:, code]
-        ok = (s >= 0) & alive
-        return jnp.where(ok[:, None], base[jnp.where(ok, s, 0)], False)
-
-    ins_f = {0: inside0}
-    val_f = {0: valid0}
-    for c in range(1, 8):
-        ins_f[c] = nbr_field(inside0, c)
-        val_f[c] = nbr_field(valid0, c)
-    ins_v = _corner_views(ins_f, R)
-    val_v = _corner_views(val_f, R)
-    case = jnp.zeros((E, C3), jnp.int32)
-    all_valid = jnp.ones((E, C3), jnp.bool_)
-    for k in range(8):
-        key = tuple(mt.CORNER_OFFSETS[k])
-        case = case | (ins_v[key].astype(jnp.int32) << k)
-        all_valid = all_valid & val_v[key]
-    casem = jnp.where(all_valid & (case != 255), case, 0)
+    casem = _case_mask(t2, w2, alive, nbr, R)
     B3 = min(64, C3)
     return jnp.any(casem.reshape(E * (C3 // B3), B3) != 0, axis=1).sum()
 

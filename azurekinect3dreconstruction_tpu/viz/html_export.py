@@ -62,7 +62,7 @@ if (!META.n_vertices) {
   // core loop keeps the __frames liveness hook ticking for CI drivers
   hud.textContent = META.title + "\\n(empty geometry)";
 } else if (viewer) {
-  META.mode = B64.idx ? 1 : 0;
+  if (!("mode" in META)) META.mode = B64.idx ? 1 : 0;
   viewer.setGeometry("main", META,
                      decode(B64.pos, Float32Array),
                      decode(B64.col, Uint8Array),
@@ -122,6 +122,34 @@ def geometry_arrays(geometry: Union[TriangleMeshHost, PointCloudHost],
     return decimate_geometry(verts, tris, colors, normals, max_vertices)
 
 
+def soup_arrays(geometry, max_vertices: int):
+    """(verts, colors) of a triangle SOUP — a mesh whose triangles are just
+    arange(3V).reshape(-1, 3), what the incremental extractor emits —
+    strided by WHOLE triangles (3 consecutive vertices each; the indexed
+    decimator would compact/re-order the soup layout). Returns None when
+    the geometry is not a soup. ONE definition shared by the live server's
+    wire packer and the .html exporter: a soup's index buffer carries zero
+    information (12 bytes/triangle on the wire, ~a third of an exported
+    file), so both render it indexless as mode 2."""
+    if not isinstance(geometry, TriangleMeshHost) or geometry.triangles is None:
+        return None
+    t = np.asarray(geometry.triangles)
+    if not (t.size and t.size == len(geometry.vertices)
+            and t.flat[0] == 0 and t.flat[-1] == t.size - 1
+            and np.array_equal(t.reshape(-1),
+                               np.arange(t.size, dtype=t.dtype))):
+        return None
+    verts = np.asarray(geometry.vertices, np.float32)
+    colors = geometry.vertex_colors
+    if verts.shape[0] > max_vertices:
+        stride = -(-verts.shape[0] // max_vertices)
+        verts = verts.reshape(-1, 3, 3)[::stride].reshape(-1, 3)
+        if colors is not None:
+            colors = np.asarray(colors).reshape(-1, 3, 3)[::stride]
+            colors = colors.reshape(-1, 3)
+    return verts, colors
+
+
 def colors_u8(colors) -> Optional[np.ndarray]:
     if colors is None:
         return None
@@ -148,12 +176,20 @@ def save_html_viewer(path: str,
     Geometry above ``max_vertices`` is uniformly strided down so the file
     stays loadable (base64 is ~4/3 of the raw buffer size).
     """
-    verts, tris, colors, normals = geometry_arrays(geometry, max_vertices)
+    soup = soup_arrays(geometry, max_vertices)
+    if soup is not None:
+        (verts, colors), tris, normals, mode = soup, None, None, 2
+    else:
+        verts, tris, colors, normals = geometry_arrays(geometry, max_vertices)
+        mode = 1 if (tris is not None and tris.size) else 0
+        if mode == 0:
+            tris = None
     col_u8 = colors_u8(colors)
     center, radius = bounds_meta(verts)
 
     meta = {
         "title": title,
+        "mode": mode,
         "n_vertices": int(verts.shape[0]),
         "n_indices": int(tris.size) if tris is not None else 0,
         "center": center,

@@ -64,6 +64,10 @@ _LIVE_PAGE = """<!DOCTYPE html>
 const viewer = makeViewer(document.getElementById("c"),
                           document.getElementById("hud"), "__TITLE__");
 const known = new Map();   // name -> rev already uploaded
+// makeViewer returns null when WebGL is unavailable (html_export guards the
+// same way); without the guard the TypeError below would kill the script
+// before the poll loop / __polls liveness hook ever start
+if (viewer) {
 viewer.onHostKey = k => { fetch("/key?c=" + encodeURIComponent(k)); };
 async function pull(name) {
   const r = await fetch("/geometry.bin?name=" + encodeURIComponent(name));
@@ -100,6 +104,7 @@ async function poll() {
   setTimeout(poll, 250);
 }
 poll();
+}
 </script>
 </body>
 </html>
@@ -117,28 +122,14 @@ def pack_geometry(geometry: Union[TriangleMeshHost, PointCloudHost],
         bounds_meta,
         colors_u8,
         geometry_arrays,
+        soup_arrays,
     )
 
-    # soup detection BEFORE decimation (decimation re-indexes)
-    is_soup = False
-    if isinstance(geometry, TriangleMeshHost) and geometry.triangles is not None:
-        t = np.asarray(geometry.triangles)
-        is_soup = (t.size and t.size == len(geometry.vertices)
-                   and t.flat[0] == 0 and t.flat[-1] == t.size - 1
-                   and np.array_equal(
-                       t.reshape(-1), np.arange(t.size, dtype=t.dtype)))
-
-    if is_soup:
-        # stride whole triangles (3 consecutive soup vertices each) — the
-        # indexed decimator would compact/re-order the soup layout
-        verts = np.asarray(geometry.vertices, np.float32)
-        colors = geometry.vertex_colors
-        if verts.shape[0] > max_vertices:
-            stride = -(-verts.shape[0] // max_vertices)
-            verts = verts.reshape(-1, 3, 3)[::stride].reshape(-1, 3)
-            if colors is not None:
-                colors = np.asarray(colors).reshape(-1, 3, 3)[::stride]
-                colors = colors.reshape(-1, 3)
+    # soup detection + whole-triangle striding shared with the .html
+    # exporter (ONE definition — see html_export.soup_arrays)
+    soup = soup_arrays(geometry, max_vertices)
+    if soup is not None:
+        verts, colors = soup
         tris, normals, mode = None, None, 2
     else:
         verts, tris, colors, normals = geometry_arrays(geometry, max_vertices)

@@ -105,3 +105,40 @@ def test_cloud_decimation(tmp_path, rng):
     out = save_html_viewer(str(tmp_path / "s.html"),
                            PointCloudHost(points=pts), max_vertices=100)
     assert _meta(open(out).read())["n_vertices"] <= 500
+
+
+def test_soup_export_is_indexless_mode2(tmp_path):
+    """A triangle soup's index buffer carries zero information (~a third of
+    the file after base64): the exporter must ship it as mode 2 with no
+    idx payload, same as the live server's wire packer (shared
+    soup_arrays)."""
+    nt = 10
+    verts = np.random.default_rng(0).random((3 * nt, 3)).astype(np.float32)
+    soup = TriangleMeshHost(
+        vertices=verts,
+        triangles=np.arange(3 * nt, dtype=np.int32).reshape(-1, 3))
+    out = save_html_viewer(str(tmp_path / "s.html"), soup)
+    html = open(out).read()
+    meta = _meta(html)
+    assert meta["mode"] == 2
+    assert meta["n_indices"] == 0
+    assert _extract(html, "idx") == ""
+    pos = np.frombuffer(base64.b64decode(_extract(html, "pos")), "<f4")
+    np.testing.assert_array_equal(pos.reshape(-1, 3), verts)
+
+
+def test_read_obj_negative_relative_indices(tmp_path):
+    """OBJ negative refs are relative to the vertices parsed SO FAR (legal
+    per spec, emitted by several exporters) — they must resolve against the
+    running vertex count, not wrap from the end of the final array."""
+    from azurekinect3dreconstruction_tpu.viz.savers import read_obj
+
+    p = str(tmp_path / "rel.obj")
+    with open(p, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 1 1 0\n"
+                "f -3 -2 -1\n"        # first triangle: verts 0,1,2
+                "v 2 0 0\n"
+                "f -3 -2 -1\n")       # second: verts 1,2,3 (count is now 4)
+    v, c, t = read_obj(p)
+    assert v.shape == (4, 3)
+    np.testing.assert_array_equal(t, [[0, 1, 2], [1, 2, 3]])

@@ -295,3 +295,28 @@ def test_dual_fusion_sharded_mode_matches_single_device(synthetic_camera):
     c0, c1 = centroids(meshes[0]), centroids(meshes[1])
     overlap = len(c0 & c1) / max(len(c0), 1)
     assert overlap > 0.999, f"only {overlap:.4f} of triangles match"
+
+
+def test_sharded_step_forced_pallas_runs_interpreted(synthetic_camera):
+    """backend="pallas" on a non-TPU mesh (THE kernel-parity configuration,
+    core/backend.py) must route the Pallas kernels through the interpreter
+    instead of failing Mosaic lowering, and match the XLA fusion body."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    m = sv.make_mesh(1, 2)
+    intr = synthetic_camera.intrinsics
+    rays = pixel_rays(intr)
+    d, c = synthetic_camera.render(np.eye(4, dtype=np.float32))
+    depths = jnp.stack([d])
+    colors = jnp.stack([c])
+    posearr = jnp.stack([jnp.eye(4, dtype=jnp.float32)])
+
+    out = {}
+    for backend in ("pallas", "xla"):
+        step = sv.make_sharded_step(m, intr, CFG, stride=4,
+                                    backend=backend, worklist_size=1024)
+        v = step(sv.create_sharded(CFG, m), depths, colors, posearr, rays)
+        out[backend] = (float(jnp.sum(v.weight)),
+                        int(np.asarray(v.n_blocks).sum()))
+    assert out["pallas"][1] == out["xla"][1]
+    np.testing.assert_allclose(out["pallas"][0], out["xla"][0], rtol=1e-5)

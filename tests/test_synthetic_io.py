@@ -93,3 +93,17 @@ def test_view_overlap_between_consecutive_frames(synthetic_camera):
     v1 = np.asarray(z1) > 0
     inter = (v0 & v1).sum()
     assert inter > 0.7 * min(v0.sum(), v1.sum())
+
+
+def test_from_raw_float_color_intensity_consistent():
+    """Float-color path: intensity must be computed from the CLIPPED color,
+    so out-of-range float input (e.g. [0,255] handed in un-normalized)
+    cannot feed the photometric odometry an intensity inconsistent with the
+    stored color."""
+    from azurekinect3dreconstruction_tpu.core.types import RGBDFrame
+
+    d = np.full((8, 8), 1000, np.uint16)
+    c = np.full((8, 8, 3), 200.0, np.float32)  # out of [0,1] by 200x
+    f = RGBDFrame.from_raw(d, c, 1000.0, 3.0, 0.1)
+    assert float(f.color.max()) == 1.0
+    assert float(f.intensity.max()) <= 1.0 + 1e-6
