@@ -3,4 +3,6 @@ from azurekinect3dreconstruction_tpu.utils.telemetry import (
     log_error,
     log_info,
     log_warning,
+    process_map_count,
+    release_jit_maps_if_crowded,
 )

@@ -48,6 +48,14 @@ class Telemetry:
     def tick_frame(self) -> None:
         self._frame_times.append(time.perf_counter())
         self.frame_count += 1
+        # process-health guard, piggybacked on the one per-frame host hook
+        # every pipeline already calls: long CPU-backend sessions keep
+        # compiling new shapes (bucket ladders, streaming growth) and march
+        # toward the kernel's vm.max_map_count — fatal SIGSEGV at ~65k
+        # mappings (see process_map_count). One /proc read per 512 frames;
+        # no-op on TPU where the host holds no JIT code pages.
+        if self.frame_count % 512 == 0 and release_jit_maps_if_crowded():
+            self.count("jit_maps_released")
 
     def count(self, name: str, inc: int = 1) -> None:
         self._counters[name] += inc
@@ -90,6 +98,42 @@ class Telemetry:
         line = "[INFO] " + " | ".join(parts)
         self.sink(line)
         return line
+
+
+def process_map_count() -> int:
+    """Number of memory mappings of this process (0 where /proc is absent).
+
+    Why it matters: every LARGE executable XLA:CPU JIT-compiles leaves
+    hundreds-to-thousands of code/rodata/data mappings alive for as long as
+    the compiled executable is cached (measured on this image: ONE
+    auto-grow mesh-extraction ladder = +5.5k mappings; jax.clear_caches()
+    returns the process to baseline). A long-lived CPU-backend process that
+    keeps compiling new shapes therefore marches toward the kernel's
+    ``vm.max_map_count`` (65530 by default) and DIES WITH SIGSEGV inside
+    the next mmap-backed compile or cache load — that is how the full test
+    suite crashed at ~94% before `release_jit_maps_if_crowded` existed.
+    The TPU path is immune (kernels run device-side; the host holds no
+    JIT code pages), so live pipelines only need this guard on CPU."""
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+def release_jit_maps_if_crowded(soft_limit: int = 35_000) -> bool:
+    """Call ``jax.clear_caches()`` when the process nears the kernel map
+    limit (see `process_map_count`). Returns True when a clear happened.
+    Safe to call at any cadence: a clear only costs recompiles of whatever
+    jitted shapes are used again (softened by the persistent compilation
+    cache), and the headroom between `soft_limit` and the kernel's 65530
+    default covers the largest single-compile burst observed (~10k)."""
+    if process_map_count() <= soft_limit:
+        return False
+    import jax
+
+    jax.clear_caches()
+    return True
 
 
 class _Timer:

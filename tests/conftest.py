@@ -20,6 +20,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_runtest_teardown(item, nextitem):
+    """XLA:CPU JIT leaves thousands of code/data mappings per large compiled
+    executable, all held alive by jax's executable caches; a full-suite
+    process crosses the kernel's vm.max_map_count (65530) at ~94% of the
+    run and dies with SIGSEGV inside the next compile's mmap (observed
+    three times before this hook existed — always at the same test, always
+    inside compilation_cache deserialization). Clearing jax's caches when
+    the map count gets crowded returns the process to baseline (measured:
+    6111 -> 523 maps) at the cost of recompiling whatever later tests
+    reuse. One /proc/self/maps line count per test is ~free."""
+    from azurekinect3dreconstruction_tpu.utils.telemetry import (
+        release_jit_maps_if_crowded,
+    )
+
+    release_jit_maps_if_crowded()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(0)

@@ -461,3 +461,26 @@ def test_offline_bundle_optimization_reduces_drift(cam, tmp_path):
     assert pipe.telemetry._counters.get("loop_closures", 0) >= 1
     assert a_opt["rmse"] < a_raw["rmse"], (a_opt, a_raw)
     assert a_opt["final_drift"] < 0.3 * a_raw["final_drift"], (a_opt, a_raw)
+
+
+def test_jit_map_guard_releases_executable_mappings():
+    """The vm.max_map_count guard (utils.telemetry.release_jit_maps_if_crowded):
+    below the soft limit it must be a no-op; with a forced-low limit it must
+    clear jax's executable caches (observable as a fresh compile-cache miss,
+    and on CPU as a map-count drop — here we assert the cheap invariants
+    that hold on every backend)."""
+    from azurekinect3dreconstruction_tpu.utils.telemetry import (
+        Telemetry,
+        process_map_count,
+        release_jit_maps_if_crowded,
+    )
+
+    n = process_map_count()
+    assert n > 0  # /proc exists on this image
+    assert release_jit_maps_if_crowded(soft_limit=n + 10_000) is False
+    assert release_jit_maps_if_crowded(soft_limit=1) is True
+    # the per-frame hook wires the guard at a 512-frame cadence
+    t = Telemetry(report_interval=1e9)
+    for _ in range(512):
+        t.tick_frame()
+    assert t.frame_count == 512
