@@ -147,6 +147,23 @@ def inverse(T):
     return out
 
 
+def compose_renormalized(T_a, T_b):
+    """``T_a @ T_b`` with the rotation snapped back to SO(3).
+
+    Long pose chains compose in f32 on device (TPU f64 is emulated); of the
+    two f32 error modes, translation rounding is a benign ~1e-7 random walk,
+    but rotation non-orthogonality compounds MULTIPLICATIVELY through the
+    chain — so snap R with one Newton iteration of the polar decomposition
+    (R <- 1.5 R - 0.5 R Rᵀ R; quadratic convergence, and one step from a
+    near-orthogonal start lands at f32 roundoff). Three 3x3 matmuls: free
+    next to any tracking workload. Every device-side pose accumulator must
+    route through here (the flat SLAM gate, the recorder's keyframe chain)."""
+    T = _mm(jnp.asarray(T_a, jnp.float32), jnp.asarray(T_b, jnp.float32))
+    R = T[:3, :3]
+    R = 1.5 * R - 0.5 * _mm(R, _mm(R.T, R))
+    return T.at[:3, :3].set(R)
+
+
 def transform_points(T, pts):
     """Apply 4x4 to (..., 3) points.
 

@@ -47,9 +47,19 @@ class Plane:
 
 
 @dataclasses.dataclass(frozen=True)
+class Box:
+    """Axis-aligned box viewed from OUTSIDE (slab-method entry hit)."""
+
+    center: Tuple[float, float, float]
+    half_extents: Tuple[float, float, float]
+    albedo: Tuple[float, float, float] = (0.7, 0.6, 0.3)
+
+
+@dataclasses.dataclass(frozen=True)
 class Scene:
     spheres: Tuple[Sphere, ...] = ()
     planes: Tuple[Plane, ...] = ()
+    boxes: Tuple[Box, ...] = ()
 
     @staticmethod
     def default() -> "Scene":
@@ -67,6 +77,31 @@ class Scene:
             ),
         )
 
+    @staticmethod
+    def cluttered() -> "Scene":
+        """Boxes of distinct sizes among the default props: edges and
+        corners make GEOMETRIC features (FPFH) informative — the default
+        scene's spheres/planes are feature-degenerate by construction
+        (every sphere point looks alike), which starves feature-based
+        global registration no matter how good the matcher is. Use for
+        FPFH/RANSAC-dependent tests (recorder fallback, relocalization,
+        cloud accumulation)."""
+        return Scene(
+            spheres=(
+                Sphere((0.45, 0.28, 1.75), 0.22, (0.25, 0.8, 0.3)),
+            ),
+            planes=(
+                Plane((0.0, 0.5, 0.0), (0.0, -1.0, 0.0), (0.6, 0.6, 0.6), checker=0.25),
+                Plane((0.0, 0.0, 2.6), (0.0, 0.0, -1.0), (0.75, 0.7, 0.6), checker=0.4),
+            ),
+            boxes=(
+                Box((-0.05, 0.32, 1.25), (0.22, 0.18, 0.16), (0.85, 0.3, 0.2)),
+                Box((-0.5, 0.38, 1.6), (0.1, 0.12, 0.3), (0.2, 0.5, 0.85)),
+                Box((0.18, 0.44, 1.05), (0.09, 0.06, 0.07), (0.9, 0.75, 0.25)),
+                Box((-0.28, 0.12, 1.85), (0.16, 0.38, 0.1), (0.55, 0.35, 0.75)),
+            ),
+        )
+
 
 def _intersect_sphere(origin, dirs, sphere: Sphere):
     c = jnp.asarray(sphere.center, dtype=dirs.dtype)
@@ -80,6 +115,28 @@ def _intersect_sphere(origin, dirs, sphere: Sphere):
     t2 = (-b + sq) / a2
     t = jnp.where(t > 1e-4, t, t2)
     return jnp.where((disc > 0.0) & (t > 1e-4), t, _BIG)
+
+
+def _intersect_box(origin, dirs, box: Box):
+    """Slab-method entry intersection; returns (t, normal). The entry face
+    is the slab whose tmin dominates; its outward normal opposes the ray's
+    sign on that axis."""
+    c = jnp.asarray(box.center, dtype=dirs.dtype)
+    h = jnp.asarray(box.half_extents, dtype=dirs.dtype)
+    safe = jnp.where(jnp.abs(dirs) > 1e-9, dirs, 1e-9)
+    inv = 1.0 / safe
+    t0 = (c - h - origin) * inv
+    t1 = (c + h - origin) * inv
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    t_near = jnp.max(tmin, axis=-1)
+    t_far = jnp.min(tmax, axis=-1)
+    hit = (t_near <= t_far) & (t_near > 1e-4)
+    axis = jnp.argmax(tmin, axis=-1)
+    onehot = jax.nn.one_hot(axis, 3, dtype=dirs.dtype)
+    sgn = jnp.sign(jnp.sum(onehot * safe, axis=-1, keepdims=True))
+    n = -sgn * onehot
+    return jnp.where(hit, t_near, _BIG), n
 
 
 def _intersect_plane(origin, dirs, plane: Plane):
@@ -109,6 +166,13 @@ def _render(scene: Scene, intr: Intrinsics, T_world_cam, max_depth):
         n = (pt - jnp.asarray(s.center)) / s.radius
         best_t = jnp.where(hit, t, best_t)
         albedo = jnp.where(hit[..., None], jnp.asarray(s.albedo), albedo)
+        normal = jnp.where(hit[..., None], n, normal)
+
+    for b in scene.boxes:
+        t, n = _intersect_box(origin, dirs, b)
+        hit = t < best_t
+        best_t = jnp.where(hit, t, best_t)
+        albedo = jnp.where(hit[..., None], jnp.asarray(b.albedo), albedo)
         normal = jnp.where(hit[..., None], n, normal)
 
     for p in scene.planes:

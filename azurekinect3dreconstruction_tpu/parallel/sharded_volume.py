@@ -212,6 +212,27 @@ _VOL_SPECS = (P("blk"), P("blk"), P("blk"), P("blk"), P("blk"), P("blk"),
               P("blk"), P("blk"))
 
 
+def _fuse_cam_shard(local: TSDFVolume, depth, color, pose, rays,
+                    intr: Intrinsics, cfg: TSDFConfig, n_blk: int, stride: int,
+                    samples: int, dedup_budget: int, pallas: bool,
+                    worklist_size: int, interp: bool) -> TSDFVolume:
+    """Per-(cam, blk)-device fusion body shared by every sharded step: this
+    camera's frame allocates into the local shard, then the shard integrates
+    ALL cameras' frames (Pallas path: frame all_gather over the cam axis;
+    XLA path: dense psum update — identical semantics, see docstrings)."""
+    local = _alloc_shard(local, depth, pose, rays, cfg, n_blk,
+                         stride, samples, dedup_budget)
+    if pallas:
+        dall = jax.lax.all_gather(depth, "cam")
+        call_ = jax.lax.all_gather(color, "cam")
+        Tall = jax.lax.all_gather(pose, "cam")
+        local = _integrate_pallas_seq(local, dall, call_, Tall, intr,
+                                      cfg, worklist_size, interp)
+    else:
+        local = _integrate_psum(local, depth, color, pose, intr, cfg)
+    return local
+
+
 def make_sharded_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
                       stride: int = 4, samples: int = 3,
                       dedup_budget: int = 2048, backend: str = "auto",
@@ -232,17 +253,10 @@ def make_sharded_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
     def step(vol: TSDFVolume, depths, colors, poses, rays):
         def shard_fn(tk, tv, nb, bc, ts, wg, co, ovf, depth, color, pose, rays):
             local = TSDFVolume(tk, tv, nb[0], bc, ts, wg, co, ovf[0])
-            local = _alloc_shard(local, depth[0], pose[0], rays, cfg, n_blk,
-                                 stride, samples, dedup_budget)
-            if pallas:
-                dall = jax.lax.all_gather(depth[0], "cam")
-                call_ = jax.lax.all_gather(color[0], "cam")
-                Tall = jax.lax.all_gather(pose[0], "cam")
-                local = _integrate_pallas_seq(local, dall, call_, Tall, intr,
-                                              cfg, worklist_size, interp)
-            else:
-                local = _integrate_psum(local, depth[0], color[0], pose[0],
-                                        intr, cfg)
+            local = _fuse_cam_shard(local, depth[0], color[0], pose[0], rays,
+                                    intr, cfg, n_blk, stride, samples,
+                                    dedup_budget, pallas, worklist_size,
+                                    interp)
             return (local.table_keys, local.table_vals, local.n_blocks[None],
                     local.block_coords, local.tsdf, local.weight, local.color,
                     local.overflow[None])
@@ -258,6 +272,69 @@ def make_sharded_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
         out = fn(vol.table_keys, vol.table_vals, vol.n_blocks, vol.block_coords,
                  vol.tsdf, vol.weight, vol.color, vol.overflow,
                  depths, colors, poses, rays)
+        return TSDFVolume(*out)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_sharded_raw_step(mesh: Mesh, intr: Intrinsics, cfg: TSDFConfig,
+                          stride: int = 4, samples: int = 3,
+                          dedup_budget: int = 2048, backend: str = "auto",
+                          worklist_size: int = 2048):
+    """The sharded fusion step fed RAW sensor arrays — the live dual-camera
+    hot path (reference CreateMesh.py:723-833 eagerly converts both frames
+    on the host every loop; here decode + allocate + integrate for BOTH
+    cameras is ONE collective dispatch).
+
+    step(vol, depth_raw (n_cam, H, W) u16, color_raw (n_cam, H, W, 3) u8,
+         poses (n_cam, 4, 4), rays, cam_on (n_cam,) f32,
+         inv_scale, depth_min, depth_trunc) -> vol
+
+    Each camera row decodes ITS frame (decode is elementwise, so it shards
+    perfectly over the cam axis). ``cam_on[i] = 0`` zeroes camera *i*'s
+    decoded depth — zero depth is invalid to every downstream consumer, so
+    an uncalibrated camera contributes nothing without a recompile (the
+    same trick as pipelines.mono_odometry_tsdf.apply_lost_latch). Decode
+    parameters are traced scalars: runtime depth retuning ('=/-/[/]',
+    reference CreateMesh.py:470-501) never recompiles.
+    """
+    from azurekinect3dreconstruction_tpu.pipelines.mono_odometry_tsdf import (
+        decode_raw_frame,
+    )
+
+    n_blk = mesh.shape["blk"]
+    pallas, interp = _resolve_backend(backend)
+
+    def step(vol: TSDFVolume, depth_raw, color_raw, poses, rays, cam_on,
+             inv_scale, depth_min, depth_trunc):
+        def shard_fn(tk, tv, nb, bc, ts, wg, co, ovf, draw, craw, pose, rays,
+                     on, inv_s, dmin, dtrunc):
+            local = TSDFVolume(tk, tv, nb[0], bc, ts, wg, co, ovf[0])
+            d, c, _ = decode_raw_frame(draw[0], craw[0], inv_s, dmin, dtrunc)
+            d = d * on[0]
+            local = _fuse_cam_shard(local, d, c, pose[0], rays,
+                                    intr, cfg, n_blk, stride, samples,
+                                    dedup_budget, pallas, worklist_size,
+                                    interp)
+            return (local.table_keys, local.table_vals, local.n_blocks[None],
+                    local.block_coords, local.tsdf, local.weight, local.color,
+                    local.overflow[None])
+
+        fn = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=_VOL_SPECS + (P("cam"), P("cam"), P("cam"), P(),
+                                   P("cam"), P(), P(), P()),
+            out_specs=_VOL_SPECS,
+            check_vma=False,
+        )
+        out = fn(vol.table_keys, vol.table_vals, vol.n_blocks, vol.block_coords,
+                 vol.tsdf, vol.weight, vol.color, vol.overflow,
+                 depth_raw, color_raw, poses, rays,
+                 jnp.asarray(cam_on, jnp.float32),
+                 jnp.asarray(inv_scale, jnp.float32),
+                 jnp.asarray(depth_min, jnp.float32),
+                 jnp.asarray(depth_trunc, jnp.float32))
         return TSDFVolume(*out)
 
     return jax.jit(step, donate_argnums=(0,))
@@ -323,17 +400,9 @@ def make_sharded_slam_batch(mesh: Mesh, intr: Intrinsics, pcfg,
                 res = odo(prev_int, prev_depth, inten, d)
                 # same gate (and -1-fitness failure marker) as the flat steps
                 T, fit = apply_odometry_gate(T_prev, res, min_fitness)
-                local2 = _alloc_shard(local, d, T, rays, cfg, n_blk,
-                                      stride, samples, dedup_budget)
-                if pallas:
-                    dall = jax.lax.all_gather(d, "cam")
-                    call_ = jax.lax.all_gather(c, "cam")
-                    Tall = jax.lax.all_gather(T, "cam")
-                    local2 = _integrate_pallas_seq(local2, dall, call_, Tall,
-                                                   intr, cfg, worklist_size,
-                                                   interp)
-                else:
-                    local2 = _integrate_psum(local2, d, c, T, intr, cfg)
+                local2 = _fuse_cam_shard(local, d, c, T, rays, intr, cfg,
+                                         n_blk, stride, samples, dedup_budget,
+                                         pallas, worklist_size, interp)
                 return (local2, T, inten, d), (T, fit)
 
             init = (local, jnp.asarray(T0c, jnp.float32), intens[0], depth[0])

@@ -8,11 +8,16 @@ refinement on recalibration ('R' key) (:221-284, :609-665, overlap gate
 >= 0.2 at :640), clouds merge + voxel-downsample for display (:766-829),
 depth-gradient color modes (:685-721), and 'S' saves PLY + meshes (:414-462).
 
-TPU-first differences: both frames' geometry math is batched device work; the
-merged cloud is produced by fixed-capacity voxel downsampling; meshing on
-save uses the TSDF+marching-cubes path (what the reference's "works"
-pipelines actually render) with host Poisson as an optional export
-(meshing.poisson, gated on Open3D).
+TPU-first differences: the calibrated hot loop is ONE jitted dispatch per
+frame pair — decode of BOTH raw sensor frames + allocate + integrate for
+both cameras fuse into a single executable (:func:`make_raw_dual_step`;
+the reference eagerly converts each frame on the host every loop,
+CreateMesh.py:723-833), with extrinsics as traced inputs so recalibration
+('R') never recompiles; the merged cloud is produced by fixed-capacity
+voxel downsampling at display cadence; meshing on save uses the
+TSDF+marching-cubes path (what the reference's "works" pipelines actually
+render) with host Poisson as an optional export (meshing.poisson, gated on
+Open3D).
 """
 
 from __future__ import annotations
@@ -69,6 +74,9 @@ class DualCameraFusion:
         self._key = jax.random.PRNGKey(7)
         self.frame_index = 0
         self._last_frames: List[Optional[RGBDFrame]] = [None, None]
+        self._last_raw = [None, None]  # device (depth_u16, color_u8) pairs
+        self._frames_stale = False  # _last_frames behind _last_raw
+        self._dual_step = None  # lazily-built fused raw pair step
 
         # sharded execution mode (SURVEY.md §2.3's prescribed design):
         # camera-per-mesh-row, volume block-sharded over the remaining
@@ -88,7 +96,7 @@ class DualCameraFusion:
                 self._sv = sv
                 self.mesh = sv.make_mesh(2, n_dev // 2)
                 self.volume = sv.create_sharded(self.cfg.tsdf, self.mesh)
-                self._sharded_step = sv.make_sharded_step(
+                self._sharded_step = sv.make_sharded_raw_step(
                     self.mesh, self.intr[0], self.cfg.tsdf, stride=2,
                     backend=self.backend)
                 self.sharded = True
@@ -156,45 +164,69 @@ class DualCameraFusion:
 
     def recalibrate(self) -> bool:
         """'R' key: ICP refinement from the current extrinsic."""
-        if None in self._last_frames:
+        frames = self._decoded_frames()
+        if None in frames:
             return False
-        return self.calibrate(tuple(self._last_frames), refine_only=True)
+        return self.calibrate(tuple(frames), refine_only=True)
+
+    def _decoded_frames(self) -> List[Optional[RGBDFrame]]:
+        """Decoded views of the most recent pair, produced ON DEMAND: the hot
+        loop keeps only the raw device arrays (decode happens inside the
+        fused step), so display/recalibration decode here at their own
+        cadence instead of taxing every frame."""
+        if self._frames_stale:
+            cam = self.cfg.camera
+            self._last_frames = [
+                None if r is None else RGBDFrame.from_raw(
+                    r[0], r[1], cam.depth_scale, cam.depth_trunc,
+                    cam.depth_min)
+                for r in self._last_raw
+            ]
+            self._frames_stale = False
+        return self._last_frames
+
+    def _get_dual_step(self):
+        if self._dual_step is None:
+            self._dual_step = make_raw_dual_step(
+                self.intr[0], self.intr[1], self.cfg.tsdf,
+                backend=self.backend)
+        return self._dual_step
 
     # -- streaming -------------------------------------------------------------
     def process_frames(self, pair) -> None:
-        """pair: ((depth0, color0), (depth1, color1)) raw arrays."""
+        """pair: ((depth0, color0), (depth1, color1)) raw u16/u8 arrays.
+
+        Calibrated hot path: ONE jitted dispatch decodes + fuses both
+        cameras (sharded mode: one collective dispatch, camera row each).
+        Until calibration succeeds, the pair is also decoded eagerly so the
+        FPFH+RANSAC calibration ladder can run (host work by design — it
+        runs once per session, reference CreateMesh.py:609-665); camera 1's
+        depth is zeroed inside the step (``cam1_on=0``) so it contributes
+        nothing to the volume."""
         cam = self.cfg.camera
-        frames = [
-            RGBDFrame.from_raw(d, c, cam.depth_scale, cam.depth_trunc, cam.depth_min)
-            for d, c in pair
-        ]
-        self._last_frames = frames
+        self._last_raw = [(jnp.asarray(d), jnp.asarray(c)) for d, c in pair]
+        self._frames_stale = True
         if not self.calibrated:
-            self.calibrate(tuple(frames))
-        poses = [self.extrinsics[0],
-                 self.extrinsics[1] if self.calibrated else None]
-        if self.sharded:
-            # one collective step fuses both cameras; until calibrated,
-            # camera 1 contributes nothing (zeroed depth = no valid pixels)
-            d1 = frames[1].depth if poses[1] is not None else jnp.zeros_like(
-                frames[1].depth)
-            p1 = poses[1] if poses[1] is not None else np.eye(4)
-            self.volume = self._sharded_step(
-                self.volume,
-                jnp.stack([frames[0].depth, d1]),
-                jnp.stack([frames[0].color, frames[1].color]),
-                jnp.stack([jnp.asarray(poses[0], jnp.float32),
-                           jnp.asarray(p1, jnp.float32)]),
-                self.rays[0])
-        else:
-            for i, f in enumerate(frames):
-                if poses[i] is None:
-                    continue
-                self.volume = tsdf.integrate_frame(
-                    self.volume, f.depth, f.color, self.rays[i],
-                    jnp.asarray(poses[i], jnp.float32), self.intr[i],
-                    self.cfg.tsdf, backend=self.backend,
-                )
+            self.calibrate(tuple(self._decoded_frames()))
+        on1 = jnp.float32(1.0 if self.calibrated else 0.0)
+        T0 = jnp.asarray(self.extrinsics[0], jnp.float32)
+        T1 = jnp.asarray(self.extrinsics[1] if self.calibrated else np.eye(4),
+                         jnp.float32)
+        (d0r, c0r), (d1r, c1r) = self._last_raw
+        with self.telemetry.time_block("step"):
+            if self.sharded:
+                self.volume = self._sharded_step(
+                    self.volume,
+                    jnp.stack([d0r, d1r]), jnp.stack([c0r, c1r]),
+                    jnp.stack([T0, T1]), self.rays[0],
+                    jnp.stack([jnp.float32(1.0), on1]),
+                    1.0 / cam.depth_scale, cam.depth_min, cam.depth_trunc)
+            else:
+                self.volume = self._get_dual_step()(
+                    self.volume, d0r, c0r, d1r, c1r,
+                    self.rays[0], self.rays[1], T0, T1,
+                    1.0 / cam.depth_scale, cam.depth_min, cam.depth_trunc,
+                    on1)
         self.frame_index += 1
         self.telemetry.tick_frame()
         self.telemetry.maybe_report(
@@ -204,7 +236,7 @@ class DualCameraFusion:
         """Merged + downsampled display cloud with the active color mode
         (reference update_visualization :723-833 + apply_depth_colors)."""
         pts_all, col_all, msk_all = [], [], []
-        for i, f in enumerate(self._last_frames):
+        for i, f in enumerate(self._decoded_frames()):
             pose = self.extrinsics[i]
             if f is None or pose is None:
                 continue
@@ -270,3 +302,62 @@ class DualCameraFusion:
                                                         obj=True)
         log_info(f"saved: {paths}")
         return paths
+
+
+# ---------------------------------------------------------------------------
+# fused raw pair step: decode + allocate + integrate BOTH cameras, one dispatch
+# ---------------------------------------------------------------------------
+
+
+def make_raw_dual_step(intr0: Intrinsics, intr1: Intrinsics, tcfg,
+                       worklist_size: int = 2048, stride: int = 2,
+                       backend: str = "auto"):
+    """The two-camera live hot path (the repo's namesake pipeline): ONE
+    jitted dispatch per frame PAIR, fed raw sensor arrays. Decode for both
+    cameras, allocation and integration of both frames all fuse into a
+    single executable — per pair the host does two raw transfers and one
+    dispatch (the reference decodes each frame eagerly on the host and
+    issues separate Open3D calls per camera, CreateMesh.py:723-833).
+
+    step(vol, depth_raw0, color_raw0, depth_raw1, color_raw1, rays0, rays1,
+         T0 (4,4), T1 (4,4), inv_scale, depth_min, depth_trunc, cam1_on)
+        -> vol
+
+    Extrinsics ride along as TRACED inputs: 'R'-key recalibration just
+    changes the arrays, no recompile. ``cam1_on=0`` zeroes camera 1's
+    decoded depth (invalid to allocate AND integrate — the
+    :func:`apply_lost_latch` trick), so the same executable serves the
+    uncalibrated warm-up frames. Decode scalars are traced for the live
+    '=/-/[/]' depth retuning (reference CreateMesh.py:470-501).
+    """
+    from azurekinect3dreconstruction_tpu.core.backend import resolve_backend
+    from azurekinect3dreconstruction_tpu.pipelines.mono_odometry_tsdf import (
+        decode_raw_frame,
+    )
+
+    use_pallas, interp = resolve_backend(backend)
+    if use_pallas:
+        from azurekinect3dreconstruction_tpu.ops.pallas.tsdf_kernels import (
+            integrate_step,
+        )
+
+        def fuse(vol, d, c, T, rays, intr):
+            return integrate_step(vol, d, c, T, rays, intr, tcfg,
+                                  worklist_size, stride, interp)
+    else:
+        def fuse(vol, d, c, T, rays, intr):
+            vol = tsdf.allocate(vol, d, rays, T, tcfg, stride=stride)
+            return tsdf.integrate(vol, d, c, T, intr, tcfg)
+
+    def step(vol, depth_raw0, color_raw0, depth_raw1, color_raw1, rays0,
+             rays1, T0, T1, inv_scale, depth_min, depth_trunc, cam1_on):
+        d0, c0, _ = decode_raw_frame(depth_raw0, color_raw0, inv_scale,
+                                     depth_min, depth_trunc)
+        d1, c1, _ = decode_raw_frame(depth_raw1, color_raw1, inv_scale,
+                                     depth_min, depth_trunc)
+        d1 = d1 * jnp.asarray(cam1_on, jnp.float32)
+        vol = fuse(vol, d0, c0, jnp.asarray(T0, jnp.float32), rays0, intr0)
+        vol = fuse(vol, d1, c1, jnp.asarray(T1, jnp.float32), rays1, intr1)
+        return vol
+
+    return jax.jit(step, donate_argnums=(0,))

@@ -541,22 +541,10 @@ def apply_odometry_gate(T_prev, res, min_fitness: float):
         jnp.isfinite(res.T_target_source))
     T_rel = jnp.where(ok, se3.inverse(res.T_target_source),
                       jnp.eye(4, dtype=jnp.float32))
-    T = jnp.matmul(jnp.asarray(T_prev, jnp.float32), T_rel,
-                   precision=jax.lax.Precision.HIGHEST)
-    # The pose chain composes in f32 on device (TPU f64 is emulated and the
-    # pose must live on device for the fused integrate). Of the two f32
-    # error modes, translation rounding is a benign ~1e-7 random walk
-    # (~1e-5 m after 10k frames, far under any voxel size), but rotation
-    # non-orthogonality compounds MULTIPLICATIVELY through the chain — so
-    # snap R back to SO(3) each step with one Newton iteration of the polar
-    # decomposition (R <- 1.5 R - 0.5 R Rᵀ R; quadratic convergence, and one
-    # step from a near-orthogonal start lands at f32 roundoff). Three 3x3
-    # matmuls: free next to the odometry.
-    hi = jax.lax.Precision.HIGHEST
-    R = T[:3, :3]
-    R = 1.5 * R - 0.5 * jnp.matmul(
-        R, jnp.matmul(R.T, R, precision=hi), precision=hi)
-    T = T.at[:3, :3].set(R)
+    # compose_renormalized keeps the f32 device pose chain orthonormal (see
+    # its docstring: rotation drift compounds multiplicatively; the snap
+    # costs three 3x3 matmuls)
+    T = se3.compose_renormalized(jnp.asarray(T_prev, jnp.float32), T_rel)
     return T, jnp.where(ok, res.fitness, jnp.float32(-1.0))
 
 

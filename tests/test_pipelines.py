@@ -124,6 +124,107 @@ def test_dual_fusion_autocalibration(cam, tmp_path):
     assert "mesh" in paths
 
 
+def test_recorder_deferred_fallback_rebases_pose(cam, tmp_path):
+    """A keyframe jump too large for colored ICP must be caught by the
+    DEFERRED host check (one stacked fitness pull) and recovered through
+    the FPFH+RANSAC+ICP ladder, rebasing the device pose chain."""
+    from azurekinect3dreconstruction_tpu.pipelines import Recorder
+
+    pipe = Recorder(cam.intrinsics, SMALL_CFG, backend="xla",
+                    output_dir=str(tmp_path))
+    pipe.toggle_recording()
+    # an orbit skip: frames 0-2 track smoothly, then the camera jumps
+    # straight to the far end of the arc — far beyond the projective-ICP
+    # basin, but the view stays on the scene so global registration has
+    # the overlap it needs (the same shape of motion
+    # test_cloud_accumulator_coarse_recovers_large_motion proves out)
+    orbit = orbit_trajectory(8, radius=0.45, angle_span=1.3,
+                             height_wobble=0.0)
+    poses = orbit[:3] + [orbit[7]]
+    for T in poses:
+        d, c = cam.capture(T)
+        pipe.process_frame(d, c)
+    # the rejection is pending (deferred check); save forces the pull
+    pipe.save_model()
+    snap = dict(pipe.telemetry._counters)
+    assert snap.get("colored_icp_reject", 0) >= 1, snap
+    assert snap.get("fallback_rebase", 0) >= 1, snap
+    T_true_rel = np.linalg.inv(poses[0]) @ poses[-1]
+    err = np.asarray(se3.se3_log(np.linalg.inv(T_true_rel) @ pipe.T_world_cam))
+    assert np.linalg.norm(err[:3]) < 0.06, f"terr {err[:3]}"
+    assert np.linalg.norm(err[3:]) < 0.08, f"rerr {err[3:]}"
+
+
+def test_raw_dual_step_matches_per_camera_integration(cam):
+    """The fused pair step (decode+allocate+integrate x2 in one dispatch)
+    must produce the same volume as two separate integrate_frame calls on
+    eagerly-decoded frames, and cam1_on=0 must reduce it to camera 0 only."""
+    import jax.numpy as jnp
+
+    from azurekinect3dreconstruction_tpu.core.camera import pixel_rays
+    from azurekinect3dreconstruction_tpu.core.types import RGBDFrame
+    from azurekinect3dreconstruction_tpu.pipelines.dual_fusion import (
+        make_raw_dual_step,
+    )
+    from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf
+
+    ccfg = SMALL_CFG.camera
+    tcfg = SMALL_CFG.tsdf
+    intr = cam.intrinsics
+    rays = pixel_rays(intr)
+    xi = np.array([0.1, 0.02, -0.02, 0.04, -0.1, 0.03])
+    T1 = np.asarray(se3.se3_exp(xi))
+    d0, c0 = cam.capture(np.eye(4))
+    d1, c1 = cam.capture(T1)
+
+    step = make_raw_dual_step(intr, intr, tcfg, backend="xla")
+    args = (jnp.asarray(d0), jnp.asarray(c0), jnp.asarray(d1),
+            jnp.asarray(c1), rays, rays,
+            jnp.eye(4, dtype=jnp.float32), jnp.asarray(T1, jnp.float32),
+            1.0 / ccfg.depth_scale, ccfg.depth_min, ccfg.depth_trunc)
+    vol = step(tsdf.create(tcfg), *args, jnp.float32(1.0))
+
+    ref = tsdf.create(tcfg)
+    for (d, c), T in (((d0, c0), np.eye(4)), ((d1, c1), T1)):
+        f = RGBDFrame.from_raw(d, c, ccfg.depth_scale, ccfg.depth_trunc,
+                               ccfg.depth_min)
+        ref = tsdf.integrate_frame(ref, f.depth, f.color, rays,
+                                   jnp.asarray(T, jnp.float32), intr, tcfg,
+                                   backend="xla")
+    assert int(vol.n_blocks) == int(ref.n_blocks)
+    assert np.isclose(float(vol.weight.sum()), float(ref.weight.sum()))
+    assert np.isclose(float(vol.tsdf.sum()), float(ref.tsdf.sum()), atol=1e-3)
+
+    # cam1_on = 0: camera 1 must contribute nothing
+    vol0 = step(tsdf.create(tcfg), *args, jnp.float32(0.0))
+    f0 = RGBDFrame.from_raw(d0, c0, ccfg.depth_scale, ccfg.depth_trunc,
+                            ccfg.depth_min)
+    ref0 = tsdf.integrate_frame(tsdf.create(tcfg), f0.depth, f0.color, rays,
+                                jnp.eye(4, dtype=jnp.float32), intr, tcfg,
+                                backend="xla")
+    assert int(vol0.n_blocks) == int(ref0.n_blocks)
+    assert np.isclose(float(vol0.weight.sum()), float(ref0.weight.sum()))
+
+
+def test_dual_fusion_hot_loop_skips_eager_decode(cam, tmp_path):
+    """Once calibrated, process_frames must not decode eagerly (the fused
+    step owns decode); display decodes lazily at its own cadence."""
+    from azurekinect3dreconstruction_tpu.pipelines import DualCameraFusion
+
+    T1 = np.asarray(se3.se3_exp(
+        np.array([0.12, 0.03, -0.02, 0.05, -0.12, 0.04])))
+    pipe = DualCameraFusion((cam.intrinsics, cam.intrinsics), SMALL_CFG,
+                            backend="xla", output_dir=str(tmp_path))
+    pair = ((cam.capture(np.eye(4))), (cam.capture(T1)))
+    pipe.process_frames(pair)
+    assert pipe.calibrated
+    pipe.process_frames(pair)
+    assert pipe._frames_stale, "calibrated path must defer decoding"
+    cloud = pipe.merged_cloud()
+    assert not pipe._frames_stale and len(cloud) > 1000
+    assert pipe.recalibrate(), "recalibration from lazy frames"
+
+
 def test_offline_bundle_loop_and_reintegrate(cam, tmp_path):
     from azurekinect3dreconstruction_tpu.pipelines import OfflineBundle
 
