@@ -396,48 +396,72 @@ def test_mono_frame_to_model_tracking(cam):
     assert err_m < 0.02, err_m
 
 
-def test_frame_to_model_integrates_refined_pose(cam, monkeypatch):
-    """frame_to_model ordering contract: the model-ICP refinement must land
-    BEFORE the frame fuses (reference registers against the model and only
-    then adds the cloud, InitialReconstruction-CUDA-2cam:625-674). Regression
-    for the fused-step era, where the frame was integrated at the un-refined
-    odometry pose and refinement only corrected the pose going forward."""
+def test_frame_to_model_integrates_refined_pose(cam):
+    """frame_to_model ordering contract, fused-step era: the step must fuse
+    the frame at the pose its refinement gate CHOSE — not at the raw odometry
+    prediction (the reference registers against the model and only then adds
+    the cloud, InitialReconstruction-CUDA-2cam:625-674). Proven by
+    equivalence: shift the model by a recognizable 5 mm so the refinement
+    must move the pose, then show the fused step's output volume is
+    identical to integrating the frame at the step's RETURNED pose."""
+    import jax
     import jax.numpy as jnp
 
-    from azurekinect3dreconstruction_tpu.pipelines import mono_odometry_tsdf as m
+    from azurekinect3dreconstruction_tpu.core.camera import pixel_rays
+    from azurekinect3dreconstruction_tpu.core.types import RGBDFrame
+    from azurekinect3dreconstruction_tpu.pipelines.mono_odometry_tsdf import (
+        apply_odometry_gate,
+        make_raw_f2m_step,
+    )
+    from azurekinect3dreconstruction_tpu.tracking.odometry import compute_odometry
+    from azurekinect3dreconstruction_tpu.tsdf import marching_cubes as mc
+    from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf
 
-    pipe = m.MonoOdometryTSDF(cam.intrinsics, SMALL_CFG, backend="xla",
-                              tracking="frame_to_model")
-    DELTA = np.eye(4)
-    DELTA[0, 3] = 0.123  # recognizable refinement correction
+    ccfg = SMALL_CFG.camera
+    rays = pixel_rays(cam.intrinsics)
+    poses = orbit_trajectory(2, radius=0.2, angle_span=0.3)
 
-    def fake_refine(frame):
-        pipe.T_world_cam = pipe.T_world_cam @ DELTA
+    # seed the volume + model surface with frame 0 at the origin
+    d0, c0 = cam.capture(poses[0])
+    f0 = RGBDFrame.from_raw(d0, c0, ccfg.depth_scale, ccfg.depth_trunc,
+                            ccfg.depth_min)
+    vol = tsdf.create(SMALL_CFG.tsdf)
+    vol = tsdf.integrate_frame(vol, f0.depth, f0.color, rays,
+                               jnp.eye(4, dtype=jnp.float32), cam.intrinsics,
+                               SMALL_CFG.tsdf, backend="xla")
+    mp, mm, _ = mc.extract_surface_samples(vol, SMALL_CFG.tsdf, 32768)
+    # the recognizable correction: a model shifted +5 mm in x pulls the
+    # refined pose away from pure odometry by about that much (< max_jump)
+    mp = mp + jnp.asarray([0.005, 0.0, 0.0], jnp.float32)
 
-    integrated_poses = []
-    real_integrate = m.tsdf.integrate_frame
+    step = make_raw_f2m_step(cam.intrinsics, SMALL_CFG, backend="xla",
+                             min_inliers=500)
+    d1, c1 = cam.capture(poses[1])
+    T_prev = jnp.eye(4, dtype=jnp.float32)
+    vol_in = jax.tree_util.tree_map(jnp.array, vol)  # the step donates arg 0
+    vol_out, T, fit, inten, depth_m, n_in, ok = step(
+        vol_in, T_prev, f0.intensity, f0.depth, d1, c1, rays, mp, mm,
+        1.0 / ccfg.depth_scale, ccfg.depth_min, ccfg.depth_trunc)
+    assert bool(ok), "refinement gate must accept on this easy scene"
 
-    def spy_integrate(vol, depth, color, rays, T, *a, **kw):
-        integrated_poses.append(np.asarray(T, np.float64))
-        return real_integrate(vol, depth, color, rays, T, *a, **kw)
+    # the refined pose must differ from the pure-odometry chain by roughly
+    # the injected model shift (refinement actually engaged)
+    f1 = RGBDFrame.from_raw(d1, c1, ccfg.depth_scale, ccfg.depth_trunc,
+                            ccfg.depth_min)
+    res = compute_odometry(f0.intensity, f0.depth, f1.intensity, f1.depth,
+                           cam.intrinsics, SMALL_CFG.odometry)
+    T_odo, _ = apply_odometry_gate(T_prev, res, 0.3)
+    dx = float(jnp.abs(T - T_odo).max())
+    assert 2e-3 < dx < 0.02, dx
 
-    monkeypatch.setattr(pipe, "_refine_against_model", fake_refine)
-    monkeypatch.setattr(m.tsdf, "integrate_frame", spy_integrate)
-    pipe._model = (jnp.zeros((3, 3), jnp.float32),
-                   jnp.zeros((3,), bool))  # arm the refinement path
-
-    poses = orbit_trajectory(3, radius=0.2, angle_span=0.2)
-    for T in poses:
-        d, c = cam.capture(T)
-        pipe.process_frame(d, c)
-
-    # frames 1..2 must fuse at the refined pose (x-shift present); the
-    # trajectory entry for frame i is appended right after integration
-    assert len(integrated_poses) == 3
-    for i in (1, 2):
-        T_used, T_pipe = integrated_poses[i], pipe.trajectory[i + 1]
-        np.testing.assert_allclose(T_used, T_pipe, atol=1e-6)
-        assert abs(T_used[0, 3]) > 0.1, "refinement missing from fused pose"
+    # THE contract: the volume was fused at exactly the returned pose
+    want = tsdf.integrate_frame(jax.tree_util.tree_map(jnp.array, vol),
+                                f1.depth, f1.color, rays, T, cam.intrinsics,
+                                SMALL_CFG.tsdf, backend="xla")
+    for a, b in zip(jax.tree_util.tree_leaves(vol_out),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
 
 
 def test_odometry_gate_failure_marker():
