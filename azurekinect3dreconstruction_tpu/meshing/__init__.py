@@ -1,3 +1,7 @@
+from azurekinect3dreconstruction_tpu.meshing.ball_pivot import (
+    ball_pivot,
+    ball_pivot_mesh,
+)
 from azurekinect3dreconstruction_tpu.meshing.poisson import (
     ball_pivot_mesh_from_cloud,
     mesh_with_fallback,

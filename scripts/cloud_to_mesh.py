@@ -3,9 +3,11 @@
 
 Entry-point parity: reference CodeThatKindaWorks/PointCloudToMesh.py —
 preprocess (downsample + outlier removal + normals) then Poisson with
-density-quantile culling, falling back to ball pivoting. ``--method sdf``
-(or any run without Open3D) uses the first-party oriented-point SDF-splat
-mesher instead (meshing/sdf_mesh.py) — no Open3D required.
+density-quantile culling, falling back to ball pivoting. Poisson delegates
+to Open3D when installed; ``--method ballpivot`` runs the first-party BPA
+(meshing/ball_pivot.py) without it, and ``--method sdf`` the first-party
+oriented-point SDF-splat mesher (meshing/sdf_mesh.py) — no Open3D required
+for either.
 """
 
 import argparse

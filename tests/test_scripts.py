@@ -119,6 +119,17 @@ def test_depth_to_cloud_and_cloud_to_mesh(cloud_ply, tmp_path):
     assert os.path.getsize(out) > 0
 
 
+def test_cloud_to_mesh_ball_pivot(cloud_ply, tmp_path):
+    """--method ballpivot drives the first-party BPA end-to-end (the
+    reference's fallback rung, PointCloudToMesh.py:139-148, runnable with no
+    Open3D in the image). The fixed reference ladder tops out at 4 cm, which
+    comfortably spans the 2 cm preprocess downsample spacing."""
+    out = str(tmp_path / "mesh_bp.ply")
+    run_script("cloud_to_mesh.py", cloud_ply, out,
+               "--voxel", "0.02", "--method", "ballpivot", "--cpu")
+    assert os.path.getsize(out) > 0
+
+
 def test_dual_fusion_auto_calibration(tmp_path):
     """Two-camera fusion with FPFH auto-calibration
     (reference BetterVisualizer2CamWorksROTATEsave2.py)."""
