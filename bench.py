@@ -388,6 +388,213 @@ def main():
         comp_times.append(time.perf_counter() - t0)
     evict_compact_ms = float(min(comp_times) * 1000.0)
 
+    _mark("dual fusion")
+    # ---- two-camera fused hot path (VERDICT r3 weak #1) ----------------------
+    # the namesake pipeline: DualCameraFusion's calibrated loop is ONE
+    # dispatch per frame PAIR (decode both + integrate both). A fixed rig
+    # (reference CreateMesh.py: two static cameras, scene streams) renders
+    # the same viewpoint pair every frame; frames are pre-staged on device
+    # so this is the framework+step cost (camera->host->device streaming
+    # rides the same tunnel physics h2d_mbps already self-describes).
+    # Per-camera rate == pair rate: each pair consumes one frame from EACH
+    # camera, so >30 pair-fps keeps up with two 30 fps sensors.
+    from azurekinect3dreconstruction_tpu.pipelines.dual_fusion import (
+        DualCameraFusion,
+    )
+
+    dual = DualCameraFusion((intr, intr), pcfg, output_dir="/tmp/bench_dual")
+    dual.telemetry.sink = lambda s: None
+    T_cam0 = np.asarray(sweep[0], np.float64)
+    rig = np.eye(4)  # camera 1: 35 cm left, toed in ~15 deg
+    a = 0.26
+    rig[:3, :3] = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                            [-np.sin(a), 0, np.cos(a)]])
+    rig[:3, 3] = [-0.35, 0.0, 0.05]
+    T_cam1 = T_cam0 @ rig
+    dual.extrinsics = [T_cam0, T_cam1]
+    dual.calibrated = True
+    d0_, c0_ = cam.render(np.asarray(T_cam0, np.float32))
+    d1_, c1_ = cam.render(np.asarray(T_cam1, np.float32))
+
+    def raw(z, c):
+        return (jax.device_put(np.asarray(jnp.round(z * 1000)).astype(np.uint16)),
+                jax.device_put(np.asarray(jnp.round(c * 255)).astype(np.uint8)))
+
+    pair = (raw(d0_, c0_), raw(d1_, c1_))
+    jax.block_until_ready([a_ for f in pair for a_ in f])
+    for _ in range(2):
+        dual.process_frames(pair)  # compile the fused pair step
+    jax.block_until_ready(dual.volume.tsdf)
+    n_pairs = 24
+    t0 = time.perf_counter()
+    for _ in range(n_pairs):
+        dual.process_frames(pair)
+    jax.block_until_ready(dual.volume.tsdf)
+    dual_pair_fps = n_pairs / (time.perf_counter() - t0)
+    # sharded=True needs >= 2 devices (camera-per-mesh-row); this host has
+    # one chip, so the sharded pair rate is untestable here — the shard_map
+    # overhead story is covered by sharded_slam_fps on the (1,1) mesh.
+
+    _mark("recorder")
+    # ---- colored-ICP Recorder (VERDICT r3 weak #2) ---------------------------
+    # the reference's flagship (GoodColorReconstruction.py:568-685): keyframe
+    # colored ICP + every-frame integration, keyframe_interval=10. Fused
+    # steps; the deferred fallback check costs one RTT per keyframe.
+    from azurekinect3dreconstruction_tpu.pipelines.recorder import Recorder
+
+    rcfg_ = PipelineConfig(tsdf=cfg, keyframe_interval=10)
+    rec = Recorder(intr, rcfg_, output_dir="/tmp/bench_rec")
+    rec.telemetry.sink = lambda s: None
+    rec.toggle_recording()
+    for d, c in dev_frames[:12]:  # compiles kf_step (seed == regular) + int
+        rec.process_frame(d, c)
+    jax.block_until_ready((rec.volume.tsdf, rec._T_dev))
+    rec2 = Recorder(intr, rcfg_, output_dir="/tmp/bench_rec")
+    rec2.telemetry.sink = lambda s: None
+    rec2.toggle_recording()
+    n_rec = 30  # 3 keyframes + 27 interval frames at interval 10
+    t0 = time.perf_counter()
+    for d, c in dev_frames[:n_rec]:
+        rec2.process_frame(d, c)
+    jax.block_until_ready((rec2.volume.tsdf, rec2._T_dev))
+    recorder_fps = n_rec / (time.perf_counter() - t0)
+    # itemize: device cost of one keyframe dispatch (colored ICP + gate +
+    # integrate + next target maps) vs one interval dispatch (decode +
+    # integrate) — min-of-3 synchronous calls
+    kf_step, int_step = rec2._get_steps()
+    scalars_ = (1.0 / pcfg.camera.depth_scale, pcfg.camera.depth_min,
+                pcfg.camera.depth_trunc)
+    st = {"v": rec2.volume, "m": rec2._maps, "T": rec2._T_dev,
+          "W": rec2._W_prev_kf}
+    kf_times, int_times = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (st["v"], T_, _f, *m_) = kf_step(st["v"], st["T"], st["W"], *st["m"],
+                                         *dev_frames[0], rays, *scalars_)
+        jax.block_until_ready(T_)
+        kf_times.append(time.perf_counter() - t0)
+        st["m"], st["W"], st["T"] = tuple(m_), st["T"], T_
+        t0 = time.perf_counter()
+        st["v"] = int_step(st["v"], st["T"], *dev_frames[1], rays, *scalars_)
+        jax.block_until_ready(st["v"].tsdf)
+        int_times.append(time.perf_counter() - t0)
+    recorder_kf_ms = min(kf_times) * 1000.0
+    recorder_int_ms = min(int_times) * 1000.0
+
+    _mark("streaming scan (with evictions)")
+    # ---- host streaming under real eviction pressure (VERDICT r3 weak #3) ---
+    # a 9.6 m wall scan whose surface exceeds the pool: checkered wall with
+    # sphere relief 0.55 m ahead, camera translating 4 cm/frame, 0.7 m depth
+    # truncation so the eviction ring (reach-derived) stays well inside the
+    # 1024-block pool while the full corridor (~1800 blocks) cannot fit.
+    # The SAME pipeline class, manager ticking every 8 frames; the run must
+    # evict (n_evictions > 0) and must NOT overflow. Quarter-resolution
+    # frames: block allocation depends on geometry, not pixel count, and
+    # the headline metric is streaming-vs-plain at matched settings (the
+    # plain comparator below runs the identical scan into a pool that
+    # holds it all), so the eviction machinery's overhead is isolated.
+    import dataclasses as _dc
+
+    from azurekinect3dreconstruction_tpu.io.synthetic import Plane, Scene, Sphere
+    from azurekinect3dreconstruction_tpu.tsdf.streaming import StreamingTSDF
+
+    scfg = TSDFConfig(voxel_size=0.005, sdf_trunc=0.02, block_resolution=16,
+                      block_capacity=1024, hash_capacity=8192)
+    spcfg = PipelineConfig(
+        tsdf=scfg, camera=_dc.replace(pcfg.camera, depth_trunc=0.7))
+    intr_q = intr.scaled(0.25)
+    corridor = Scene(
+        planes=(Plane((0.0, 0.0, 0.55), (0.0, 0.0, -1.0), (0.7, 0.65, 0.6),
+                      checker=0.1),),
+        spheres=tuple(
+            Sphere((0.3 * k, 0.1 * (-1) ** k, 0.5), 0.05,
+                   (0.3 + 0.5 * (k % 2), 0.4, 0.8 - 0.5 * (k % 2)))
+            for k in range(33)))
+    ccam2 = SyntheticCamera(scene=corridor, intrinsics=intr_q)
+    n_s = 240
+    s_frames = []
+    for i in range(n_s):
+        T = np.eye(4)
+        T[:3, 3] = [0.04 * i, 0.0, 0.0]
+        d_, c_ = ccam2.render(T.astype(np.float32))
+        s_frames.append(
+            (jax.device_put(np.asarray(jnp.round(d_ * 1000)).astype(np.uint16)),
+             jax.device_put(np.asarray(jnp.round(c_ * 255)).astype(np.uint8))))
+    jax.block_until_ready([a_ for f in s_frames for a_ in f])
+
+    def corridor_run(cfg_run, streaming):
+        p = MonoOdometryTSDF(intr_q, cfg_run, worklist_size=2048,
+                             streaming=streaming)
+        p.telemetry.sink = lambda s: None
+        t0 = time.perf_counter()
+        for d, c in s_frames:
+            p.process_frame(d, c)
+        jax.block_until_ready((p.volume.tsdf, p._T_dev))
+        return p, time.perf_counter() - t0
+
+    # pass 1 warms every executable incl. the eviction/compaction buckets;
+    # pass 2 (fresh manager, same trajectory -> same bucket shapes) is timed
+    corridor_run(spcfg, StreamingTSDF.for_pipeline(spcfg, check_interval=8,
+                                                   margin=0.3))
+    sp, s_dt = corridor_run(spcfg,
+                            StreamingTSDF.for_pipeline(spcfg, check_interval=8,
+                                                       margin=0.3))
+    streaming_fps = n_s / s_dt
+    streaming_evictions = int(sp.streaming.n_evictions)
+    streaming_overflow = bool(np.asarray(sp.volume.overflow))
+    # plain comparator: the same corridor into a pool big enough to hold it
+    # all (the scan allocates ~2.1k blocks) — what the identical scan costs
+    # WITHOUT the eviction machinery
+    pcfg_big = _dc.replace(spcfg, tsdf=_dc.replace(
+        scfg, block_capacity=4096, hash_capacity=16384))
+    corridor_run(pcfg_big, None)  # warm the 2048-pool executables
+    pp, p_dt = corridor_run(pcfg_big, None)
+    corridor_plain_fps = n_s / p_dt
+    assert not bool(np.asarray(pp.volume.overflow)), \
+        "plain comparator pool must hold the whole corridor"
+
+    _mark("relocalization")
+    # ---- tracking-loss recovery latency (VERDICT r3 weak #4) ----------------
+    # warmup = one-time compile cost of the full recovery ladder;
+    # recovery = a warmed attempt against the bench scene's fused volume
+    # (the camera "reappears" at sweep pose 8 with a stale pose hint).
+    from azurekinect3dreconstruction_tpu.tracking.relocalize import Relocalizer
+
+    reloc = Relocalizer(intr, pcfg, rays=rays)
+    reloc_warmup_s = reloc.warmup(vol)
+    rtimes = []
+    T_rec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        T_try = reloc.attempt(vol, depths[8], T_hint=np.asarray(sweep[0]))
+        rtimes.append(time.perf_counter() - t0)
+        T_rec = T_try if T_try is not None else T_rec
+    reloc_recovery_ms = min(rtimes) * 1000.0
+    # -1 = no recovery (inf would break strict-JSON consumers)
+    reloc_err_mm = (float(np.linalg.norm(
+        np.asarray(T_rec)[:3, 3] - np.asarray(sweep[8])[:3, 3])) * 1000.0
+        if T_rec is not None else -1.0)
+
+    _mark("frame-to-model")
+    # ---- device-resident frame_to_model (VERDICT r3 weak #5) ----------------
+    # the drift-bounding mode: fused step + periodic model refresh
+    # (extract_surface_samples every model_refine_interval frames)
+    pipe_m = MonoOdometryTSDF(intr, pcfg, worklist_size=2048,
+                              tracking="frame_to_model",
+                              model_refine_interval=5)
+    pipe_m.telemetry.sink = lambda s: None
+    for d, c in dev_frames[:6]:  # compiles the f2m step + the model refresh
+        pipe_m.process_frame(d, c)
+    jax.block_until_ready((pipe_m.volume.tsdf, pipe_m._T_dev))
+    pipe_m.reset()
+    t0 = time.perf_counter()
+    for d, c in dev_frames:
+        pipe_m.process_frame(d, c)
+    jax.block_until_ready((pipe_m.volume.tsdf, pipe_m._T_dev))
+    f2m_fps = len(dev_frames) / (time.perf_counter() - t0)
+    _ = pipe_m.trajectory  # flush the gate flags into the counters
+    f2m_refines_ok = int(pipe_m.telemetry._counters.get("model_icp_ok", 0))
+
     _mark("done")
     print(json.dumps({
         "metric": "depth_fps_into_5mm_tsdf_640x576",
@@ -410,6 +617,21 @@ def main():
         "pipeline_fps": round(pipeline_fps, 2),
         "pipeline_frame_ms": round(pipeline_dt * 1000.0, 2),
         "pipeline_fps_resident": round(pipeline_fps_resident, 2),
+        "dual_fusion_pair_fps": round(dual_pair_fps, 2),
+        "dual_fusion_fps_per_camera": round(dual_pair_fps, 2),
+        "recorder_fps": round(recorder_fps, 2),
+        "recorder_keyframe_ms": round(recorder_kf_ms, 2),
+        "recorder_interval_ms": round(recorder_int_ms, 2),
+        "streaming_fps": round(streaming_fps, 2),
+        "streaming_n_evictions": streaming_evictions,
+        "streaming_overflow": streaming_overflow,
+        "corridor_plain_fps": round(corridor_plain_fps, 2),
+        "streaming_vs_plain": round(streaming_fps / corridor_plain_fps, 3),
+        "reloc_warmup_s": round(reloc_warmup_s, 2),
+        "reloc_recovery_ms": round(reloc_recovery_ms, 1),
+        "reloc_err_mm": round(reloc_err_mm, 2),
+        "f2m_fps": round(f2m_fps, 2),
+        "f2m_refines_ok": f2m_refines_ok,
         "h2d_mbps": round(h2d_mbps, 1),
         "d2h_mbps": round(d2h_mbps, 1),
         "extract_ms": round(extract_ms, 2),

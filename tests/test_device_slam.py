@@ -4,6 +4,7 @@ track and reconstruct like the host-driven pipeline."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from azurekinect3dreconstruction_tpu.config import (
     OdometryConfig,
@@ -26,6 +27,7 @@ CFG = PipelineConfig(
 )
 
 
+@pytest.mark.slow
 def test_device_slam_batch_tracks_and_fuses():
     cam = SyntheticCamera(intrinsics=Intrinsics.azure_kinect_depth_nfov().scaled(0.25))
     intr = cam.intrinsics

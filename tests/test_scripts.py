@@ -70,6 +70,7 @@ def test_live_mono_saves_reconstruction(results_dir):
         assert any(kind in n for n in names), (kind, names)
 
 
+@pytest.mark.slow
 def test_live_mono_streaming_mode(tmp_path):
     """--streaming routes the volume through the host-streaming manager
     (tsdf/streaming.py; exactness is unit-tested in test_streaming.py — this
@@ -82,6 +83,7 @@ def test_live_mono_streaming_mode(tmp_path):
     assert any("mesh" in n for n in names), names
 
 
+@pytest.mark.slow
 def test_live_mono_serve_mode(tmp_path):
     """--serve runs the live loop against the browser viewer (HTTP server in
     place of the Open3D window; endpoint behavior is unit-tested in
@@ -130,6 +132,7 @@ def test_cloud_to_mesh_ball_pivot(cloud_ply, tmp_path):
     assert os.path.getsize(out) > 0
 
 
+@pytest.mark.slow
 def test_dual_fusion_auto_calibration(tmp_path):
     """Two-camera fusion with FPFH auto-calibration
     (reference BetterVisualizer2CamWorksROTATEsave2.py)."""
@@ -141,6 +144,7 @@ def test_dual_fusion_auto_calibration(tmp_path):
     assert any("mesh" in n for n in names), names
 
 
+@pytest.mark.slow
 def test_calibrate_rig_then_dual_fusion_consumes_it(tmp_path):
     """The checkerboard rig-calibration workflow end to end: board views ->
     Zhang intrinsics -> stereo extrinsic -> rig JSON, then dual_fusion
@@ -158,6 +162,7 @@ def test_calibrate_rig_then_dual_fusion_consumes_it(tmp_path):
     assert "rig calibration loaded" in r2.stdout + r2.stderr
 
 
+@pytest.mark.slow
 def test_fragments(tmp_path):
     out = str(tmp_path)
     run_script("fragments.py", *QUICK, "--frames", "6", "--voxel", "0.02",
@@ -165,6 +170,7 @@ def test_fragments(tmp_path):
     assert any("fragments_mesh" in n for n in os.listdir(out)), os.listdir(out)
 
 
+@pytest.mark.slow
 def test_offline_bundle_and_resume(tmp_path):
     """Record -> finalize, then --resume picks the frame log back up
     (checkpoint/resume, SURVEY §5)."""
@@ -176,6 +182,7 @@ def test_offline_bundle_and_resume(tmp_path):
     assert "resumed with" in r.stdout + r.stderr
 
 
+@pytest.mark.slow
 def test_record_reconstruction(tmp_path):
     out = str(tmp_path)
     run_script("record_reconstruction.py", *QUICK, "--frames", "3",

@@ -184,6 +184,7 @@ def test_streaming_reset_then_rescan_stays_exact(corridor):
                                   _full_mesh_sorted(ref, BIG))
 
 
+@pytest.mark.slow
 def test_streaming_thrash_across_hysteresis_band(corridor):
     """Oscillating across the reload/evict hysteresis band must not corrupt
     geometry or leak state: repeated evict/reload cycles of the same blocks
