@@ -226,6 +226,15 @@ class MonoOdometryTSDF:
                 min_inliers=self.model_min_inliers)
         return self._f2m_step
 
+    def _model_reach(self) -> float:
+        """Radius of the view-local model selection: the farthest block
+        center a frame can touch (shared definition —
+        :meth:`tsdf.streaming.StreamingTSDF.integration_reach`) plus the
+        distance the camera can plausibly move before the NEXT refresh."""
+        from azurekinect3dreconstruction_tpu.tsdf.streaming import StreamingTSDF
+
+        return StreamingTSDF.integration_reach(self.cfg) + 0.25
+
     def _flush_f2m(self) -> None:
         """Pull pending refinement-gate flags (one stacked sync) into the
         model_icp_ok/skip counters — called from the lazy host views so the
@@ -323,16 +332,38 @@ class MonoOdometryTSDF:
                     self.volume = self.streaming.vol
         if (self.tracking == "frame_to_model"
                 and self.frame_index % self.model_refine_interval == 0):
-            # refresh the device-resident model surface: budget-bounded,
-            # pool-order-unbiased marching-cubes VERTICES (shared sampler —
-            # see mc.extract_surface_samples; overflow just truncates, a
-            # subset of the surface is plenty for tracking)
-            pts, mask, ovf = mc.extract_surface_samples(
-                self.volume, self.cfg.tsdf, self.model_points)
-            self._model = (pts, mask)
+            # refresh the device-resident model surface: budget-bounded
+            # marching-cubes VERTICES (shared sampler —
+            # mc.extract_surface_samples), restricted VIEW-LOCALLY first:
+            # only blocks within integration reach of the current pose can
+            # project into a frame, so on maps larger than the view the
+            # full-pool sample would waste most of the budget on geometry
+            # the projective refinement can never use (observed live: a
+            # room-scale scan overflowed the 4x emission every refresh,
+            # biasing the model toward the oldest-scanned corner — the
+            # exact region the camera had LEFT). Selection is one fused
+            # device dispatch + one scalar sync at refresh cadence; scenes
+            # that fit the reach take the unchanged full-pool path.
+            with self.telemetry.time_block("model_refresh"):
+                sub = self.volume
+                nb = int(self.volume.n_blocks)
+                perm, n_near = _near_block_perm(
+                    self.volume.block_coords, self.volume.n_blocks,
+                    self._T_dev, self._model_reach(),
+                    self.cfg.tsdf.block_size)
+                if int(n_near) < nb:
+                    from azurekinect3dreconstruction_tpu.tsdf.streaming import (
+                        _compact,
+                    )
+
+                    sub = _compact(self.volume, perm, n_near)  # non-donating
+                pts, mask, ovf = mc.extract_surface_samples(
+                    sub, self.cfg.tsdf, self.model_points)
+                self._model = (pts, mask)
             if bool(ovf):
-                # surface exceeds even the 4x emission: the subset is biased
-                # toward the oldest blocks — surface it instead of hiding it
+                # even the VIEW-LOCAL surface exceeds the 4x emission: the
+                # subset is biased toward this region's oldest blocks —
+                # surface it instead of hiding it
                 self.telemetry.count("model_truncated")
         self.telemetry.tick_frame()
         self.telemetry.maybe_report()
@@ -493,6 +524,22 @@ class MonoOdometryTSDF:
 # ---------------------------------------------------------------------------
 # fully-fused device step: odometry + allocate + integrate in one dispatch
 # ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _near_block_perm(block_coords, n_blocks, T_world_cam, reach, block_size):
+    """View-local block selection for the frame-to-model refresh: a
+    compaction permutation putting alive blocks whose centers lie within
+    ``reach`` of the camera first (stable, so pool order — and therefore
+    the sampler's coverage pattern — is preserved among survivors), plus
+    their count. One fused dispatch; the caller syncs only the count."""
+    cap = block_coords.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    alive = iota < n_blocks
+    centers = (block_coords.astype(jnp.float32) + 0.5) * jnp.float32(block_size)
+    d = jnp.linalg.norm(centers - T_world_cam[:3, 3], axis=1)
+    near = alive & (d <= reach)
+    return jnp.argsort(~near, stable=True).astype(jnp.int32), near.sum()
 
 
 def apply_odometry_gate(T_prev, res, min_fitness: float):

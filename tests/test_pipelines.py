@@ -466,6 +466,57 @@ def test_frame_to_model_integrates_refined_pose(cam):
                                    atol=1e-6, rtol=1e-6)
 
 
+def test_frame_to_model_refresh_is_view_local(cam):
+    """On a map larger than the camera's integration reach, the model
+    refresh must sample only view-local blocks — a full-pool sample wastes
+    budget on geometry that can never project into the frame and, once the
+    4x emission overflows, biases toward the oldest-scanned region (the
+    place the camera LEFT). Two frames fused 8 m apart: the selection keeps
+    the near cluster, drops the far one, and the sampled surface stays
+    within reach."""
+    import jax.numpy as jnp
+
+    from azurekinect3dreconstruction_tpu.core.camera import pixel_rays
+    from azurekinect3dreconstruction_tpu.core.types import RGBDFrame
+    from azurekinect3dreconstruction_tpu.pipelines.mono_odometry_tsdf import (
+        _near_block_perm,
+    )
+    from azurekinect3dreconstruction_tpu.tsdf import marching_cubes as mc
+    from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf
+    from azurekinect3dreconstruction_tpu.tsdf.streaming import (
+        StreamingTSDF,
+        _compact,
+    )
+
+    ccfg = SMALL_CFG.camera
+    rays = pixel_rays(cam.intrinsics)
+    vol = tsdf.create(SMALL_CFG.tsdf)
+    T_far = np.eye(4)
+    T_far[0, 3] = 8.0  # beyond reach (~5 m for SMALL_CFG)
+    for T in (np.eye(4), T_far):
+        d, c = cam.capture(T)
+        f = RGBDFrame.from_raw(d, c, ccfg.depth_scale, ccfg.depth_trunc,
+                               ccfg.depth_min)
+        vol = tsdf.integrate_frame(vol, f.depth, f.color, rays,
+                                   jnp.asarray(T, jnp.float32),
+                                   cam.intrinsics, SMALL_CFG.tsdf,
+                                   backend="xla")
+    nb = int(vol.n_blocks)
+    reach = StreamingTSDF.integration_reach(SMALL_CFG) + 0.25
+    perm, n_near = _near_block_perm(vol.block_coords, vol.n_blocks,
+                                    jnp.eye(4, dtype=jnp.float32), reach,
+                                    SMALL_CFG.tsdf.block_size)
+    assert 0 < int(n_near) < nb, (int(n_near), nb)
+    sub = _compact(vol, perm, n_near)
+    pts, mask, _ = mc.extract_surface_samples(sub, SMALL_CFG.tsdf, 4096)
+    p = np.asarray(pts)[np.asarray(mask)]
+    assert len(p) > 100
+    assert (np.linalg.norm(p, axis=1) <= reach + SMALL_CFG.tsdf.block_size
+            ).all(), "sampled surface leaked outside the view-local radius"
+    # the original volume is untouched (_compact does not donate)
+    assert int(vol.n_blocks) == nb
+
+
 def test_odometry_gate_failure_marker():
     """apply_odometry_gate: identity fallback + fitness -1 for BOTH failure
     modes (low fitness, non-finite transform with healthy fitness) so
