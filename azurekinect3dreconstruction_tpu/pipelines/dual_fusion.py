@@ -22,6 +22,7 @@ Open3D).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -309,6 +310,7 @@ class DualCameraFusion:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
 def make_raw_dual_step(intr0: Intrinsics, intr1: Intrinsics, tcfg,
                        worklist_size: int = 2048, stride: int = 2,
                        backend: str = "auto"):

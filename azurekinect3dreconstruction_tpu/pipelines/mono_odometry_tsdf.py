@@ -19,6 +19,7 @@ streamer extracts EVERY frame, its main slowness).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -613,6 +614,7 @@ def _xla_step_fn(intr: Intrinsics, cfg: PipelineConfig,
     return step if integrate_rejected else step_latched
 
 
+@functools.lru_cache(maxsize=None)
 def make_xla_slam_step(intr: Intrinsics, cfg: PipelineConfig,
                        stride: int = 2, min_fitness: float = 0.3):
     """XLA mirror of :func:`make_device_slam_step` for backends without the
@@ -657,6 +659,7 @@ def _device_step_fn(intr: Intrinsics, cfg: PipelineConfig,
     return step if integrate_rejected else step_latched
 
 
+@functools.lru_cache(maxsize=None)
 def make_device_slam_step(intr: Intrinsics, cfg: PipelineConfig,
                           worklist_size: int = 2048, stride: int = 2,
                           min_fitness: float = 0.3, interpret: bool = False):
@@ -704,6 +707,7 @@ def decode_raw_frame(depth_raw, color_raw, inv_scale, depth_min, depth_trunc):
     return d, c, intensity
 
 
+@functools.lru_cache(maxsize=None)
 def make_raw_slam_step(intr: Intrinsics, cfg: PipelineConfig,
                        worklist_size: int = 2048, stride: int = 2,
                        min_fitness: float = 0.3, backend: str = "pallas",
@@ -752,6 +756,7 @@ def make_raw_slam_step(intr: Intrinsics, cfg: PipelineConfig,
                    donate_argnums=(0,))
 
 
+@functools.lru_cache(maxsize=None)
 def make_raw_f2m_step(intr: Intrinsics, cfg: PipelineConfig,
                       worklist_size: int = 2048, stride: int = 2,
                       min_fitness: float = 0.3, backend: str = "pallas",
@@ -845,6 +850,7 @@ def make_raw_f2m_step(intr: Intrinsics, cfg: PipelineConfig,
     return jax.jit(step, donate_argnums=(0,))
 
 
+@functools.lru_cache(maxsize=None)
 def make_device_slam_batch(intr: Intrinsics, cfg: PipelineConfig,
                            worklist_size: int = 2048, stride: int = 2,
                            min_fitness: float = 0.3, interpret: bool = False):

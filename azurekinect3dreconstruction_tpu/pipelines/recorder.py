@@ -36,6 +36,7 @@ reference's own all-rungs-failed case fuses with a stale pose.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import jax
@@ -197,7 +198,12 @@ class Recorder:
             return
         if not force and len(self._pending) < self.fallback_check_keyframes:
             return
-        fits = np.asarray(jnp.stack([p[0] for p in self._pending]))
+        # pull each scalar directly: the values finished computing at least
+        # a keyframe ago, so np.asarray is a link round trip per scalar. A
+        # device-side jnp.stack would enqueue NEW work BEHIND every interval
+        # dispatch already in the stream and drain the queue (~430 ms
+        # measured at interval 10) — exactly the stall this deferral avoids.
+        fits = np.asarray([np.asarray(p[0]) for p in self._pending])
         pending, self._pending = self._pending, []
         for f, (_, raw_prev, raw_curr, W_before) in zip(fits, pending):
             if f >= 0:  # gate accepted (marker is -1 on rejection)
@@ -325,11 +331,17 @@ class Recorder:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
 def make_raw_recorder_steps(intr: Intrinsics, cfg: PipelineConfig,
                             worklist_size: int = 2048, stride: int = 2,
                             src_stride: int = 4, damping: float = 0.9,
                             backend: str = "auto"):
     """Build ``(kf_step, int_step)``, the Recorder's two hot executables.
+
+    Memoized on the (hashable, frozen) config key: every Recorder with the
+    same settings shares ONE pair of jitted closures, so a fresh object
+    costs zero retrace/redeploy — on the tunneled chip a per-object rebuild
+    was ~1.9 s of executable upload (measured round 4).
 
     kf_step(vol, T_world, W_prev_kf, tgt_pts, tgt_nrm, tgt_int, tgt_gu,
             tgt_gv, depth_raw, color_raw, rays, inv_scale, depth_min,
