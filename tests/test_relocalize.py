@@ -85,6 +85,7 @@ def test_relocalizer_rejects_empty_frame(cam):
     assert reloc.last_reject == "empty_frame"
 
 
+@pytest.mark.slow
 def test_pipeline_relocalizes_after_occlusion_and_jump(cam):
     """End-to-end: track, lose the view for a while (occlusion), resume at a
     pose far ahead of where tracking froze. The pipeline must declare the
