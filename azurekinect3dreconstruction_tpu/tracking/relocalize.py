@@ -15,6 +15,18 @@ incoming frame against surface samples of the fused TSDF model, refine with
 ICP, and resume from the recovered world pose. This module composes the
 framework's existing registration stack into exactly that:
 
+0. hint rung — when the caller has a pose hint (the loss site: the camera
+   usually reappears near where it was lost), coarse-to-fine projective
+   model-ICP seeded by the hint, BEFORE any feature machinery. This is the
+   KinectFusion-style recovery: it needs no FPFH (so it works on the
+   feature-degenerate geometry — spheres, bare walls — that starves
+   descriptor matching) and costs a few dispatches instead of a RANSAC
+   ladder. Because no feature consensus backs the seed, its acceptance
+   gate is STRICTER than the global rung's: inlier count AND a high
+   ``evaluate_registration`` cloud-overlap fitness (``hint_gate_fitness``,
+   default 0.8 — at the true pose the frame lies almost entirely ON the
+   model, while a wrong-basin ICP slide leaves the misaligned props
+   uncovered);
 1. model cloud — budget-bounded, pool-order-unbiased marching-cubes vertex
    samples (``mc.extract_surface_samples``, shared with the frame-to-model
    tracking mode), in WORLD coordinates;
@@ -80,7 +92,7 @@ class Relocalizer:
                  feature_points: int = 8192, downsample_voxel: float = 0.015,
                  min_inliers: int = 2000, min_depth_pixels: int = 2000,
                  restarts: int = 4, stride: Optional[int] = None,
-                 seed: int = 0):
+                 hint_gate_fitness: float = 0.8, seed: int = 0):
         self.intr = intr
         self.cfg = cfg or PipelineConfig()
         self.rays = pixel_rays(intr) if rays is None else rays
@@ -90,6 +102,7 @@ class Relocalizer:
         self.min_inliers = min_inliers
         self.min_depth_pixels = min_depth_pixels
         self.restarts = restarts
+        self.hint_gate_fitness = hint_gate_fitness
         # pixel stride bounds the frame cloud fed to the voxel grid at
         # <= ~32k points whatever the image scale (full 640x576 -> 4, the
         # quarter-scale test frames -> 1); ceil because the bound is the
@@ -99,6 +112,7 @@ class Relocalizer:
         self._key = jax.random.PRNGKey(seed)
         self.n_attempts = 0
         self.n_success = 0
+        self.n_hint_success = 0  # recoveries by rung 0 (hint ICP) alone
         self.last_reject = ""  # observability: why the last attempt failed
         # model-side work cache: while the pose is lost the pipeline PAUSES
         # fusion, so across an episode's retries the volume (and the stale
@@ -148,12 +162,16 @@ class Relocalizer:
                 vol, depth, jnp.zeros((h, w, 3), jnp.float32), self.rays,
                 jnp.eye(4, dtype=jnp.float32), self.intr, self.cfg.tsdf)
         state = (self._key, self.n_attempts, self.n_success,
-                 self.last_reject, self._model_cache)
+                 self.n_hint_success, self.last_reject, self._model_cache)
         try:
+            # two dummy attempts: WITH a hint (compiles the rung-0 ICP pair
+            # + overlap gate — and succeeds, short-circuiting) and WITHOUT
+            # (skips rung 0, compiles the descriptor/RANSAC/refine ladder)
             self.attempt(vol, depth, T_hint=np.eye(4))
+            self.attempt(vol, depth, T_hint=None)
         finally:
             (self._key, self.n_attempts, self.n_success,
-             self.last_reject, self._model_cache) = state
+             self.n_hint_success, self.last_reject, self._model_cache) = state
         return time.perf_counter() - t0
 
     def _fit_voxel(self, pts, mask) -> float:
@@ -174,17 +192,16 @@ class Relocalizer:
             vox *= 1.5
         return vox
 
-    def _features(self, pts, mask, orient_to, vox):
-        """Downsample -> PCA normals -> FPFH (the coarse-stage ladder with
-        its proven radii — 2x/4x the grid voxel, cloud_accumulator), shared
-        verbatim between the frame and model clouds so both feature sets see
-        identical binning."""
-        ds, dm, _, _ = voxel_downsample_arrays(pts, mask, vox,
-                                               self.feature_points)
+    def _enrich(self, ds, dm, orient_to, vox):
+        """PCA normals -> FPFH on an already-downsampled cloud (the
+        coarse-stage ladder with its proven radii — 2x/4x the grid voxel,
+        cloud_accumulator), shared verbatim between the frame and model
+        clouds so both feature sets see identical binning. Split from the
+        downsample so the hint rung (which needs only the clouds for its
+        overlap gate) never pays for descriptors."""
         n = estimate_normals_knn(ds, dm, radius=2 * vox, k=12,
                                  orient_to=orient_to)
-        f = compute_fpfh(ds, n, dm, radius=4 * vox, k=16)
-        return ds, dm, f
+        return compute_fpfh(ds, n, dm, radius=4 * vox, k=16)
 
     def attempt(self, vol, depth, T_hint=None) -> Optional[np.ndarray]:
         """Try to relocalize one frame against the fused volume.
@@ -222,12 +239,50 @@ class Relocalizer:
         src = src[::self.stride, ::self.stride].reshape(-1, 3)
         s_mask = src[:, 2] > 0
         # ONE voxel for both clouds (identical feature binning), fitted so
-        # neither saturates its grid; model features memoized per rung
+        # neither saturates its grid; model downsample + features memoized
+        # per rung ({vox: [m_ds, m_dm, m_f-or-None]} — descriptors lazy)
         vox = max(m_vox, self._fit_voxel(src, s_mask))
         if vox not in m_feats:
-            m_feats[vox] = self._features(mpts, mmask, cam_pos, vox)
-        m_ds, m_dm, m_f = m_feats[vox]
-        s_ds, s_dm, s_f = self._features(src, s_mask, np.zeros(3), vox)
+            ds_, dm_, _, _ = voxel_downsample_arrays(mpts, mmask, vox,
+                                                     self.feature_points)
+            m_feats[vox] = [ds_, dm_, None]
+        m_ds, m_dm, _ = m_feats[vox]
+        s_ds, s_dm, _, _ = voxel_downsample_arrays(src, s_mask, vox,
+                                                   self.feature_points)
+        maps = TargetMaps.from_depth(depth, self.intr, rays=self.rays)
+        eval_thr = max(0.05, 3.0 * vox)
+
+        # rung 0: hint-seeded coarse-to-fine model ICP (module docstring).
+        # No feature consensus backs the seed, so acceptance is the STRICT
+        # overlap gate — on rejection the ladder falls through to RANSAC.
+        if T_hint is not None and se3.is_valid_transform(
+                np.asarray(T_hint, np.float64)):
+            init = jnp.asarray(np.linalg.inv(np.asarray(T_hint, np.float64)),
+                               jnp.float32)
+            r0 = icp_projective(mpts, mmask, maps, self.intr, init=init,
+                                max_iters=25,
+                                dist_thr=3 * reg.icp_distance_threshold)
+            r1 = icp_projective(mpts, mmask, maps, self.intr, init=r0.T,
+                                max_iters=15,
+                                dist_thr=reg.icp_distance_threshold)
+            T_mc = np.asarray(r1.T, np.float64)
+            if (int(r1.inliers) >= self.min_inliers
+                    and se3.is_valid_transform(T_mc)):
+                T_wc = np.linalg.inv(T_mc)
+                fit, _ = evaluate_registration(
+                    s_ds, s_dm, m_ds, m_dm, jnp.asarray(T_wc, jnp.float32),
+                    dist_thr=eval_thr)
+                if float(fit) >= self.hint_gate_fitness:
+                    self.n_success += 1
+                    self.n_hint_success += 1
+                    self.last_reject = ""
+                    return T_wc
+
+        # global ladder — descriptors computed (model: memoized) only here
+        if m_feats[vox][2] is None:
+            m_feats[vox][2] = self._enrich(m_ds, m_dm, cam_pos, vox)
+        m_f = m_feats[vox][2]
+        s_f = self._enrich(s_ds, s_dm, np.zeros(3), vox)
 
         # coarse: multi-restart RANSAC over mutual FPFH matches; the winning
         # hypothesis maps frame(camera) coords -> world == a T_world_cam
@@ -250,7 +305,7 @@ class Relocalizer:
             if not (se3.is_valid_transform(T) and np.isfinite(T).all()):
                 continue
             fit, _ = evaluate_registration(s_ds, s_dm, m_ds, m_dm, g.T,
-                                           dist_thr=max(0.05, 3.0 * vox))
+                                           dist_thr=eval_thr)
             if float(fit) > best_fit:
                 best, best_fit = T, float(fit)
         if best is None or best_fit < reg.min_fitness_global:
@@ -260,7 +315,6 @@ class Relocalizer:
 
         # refine: FULL model sample set onto the frame's organized maps,
         # seeded by the coarse pose (init maps world -> camera)
-        maps = TargetMaps.from_depth(depth, self.intr, rays=self.rays)
         res = icp_projective(mpts, mmask, maps, self.intr,
                              init=jnp.asarray(np.linalg.inv(T_g), jnp.float32),
                              max_iters=15,

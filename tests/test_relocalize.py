@@ -85,6 +85,62 @@ def test_relocalizer_rejects_empty_frame(cam):
     assert reloc.last_reject == "empty_frame"
 
 
+def _fused_orbit(cam, n=8, radius=0.3, span=0.9, hold_out=4):
+    poses = orbit_trajectory(n, radius=radius, angle_span=span)
+    world = [np.linalg.inv(poses[0]) @ T for T in poses]
+    rays = pixel_rays(cam.intrinsics)
+    vol = tsdf.create(CFG.tsdf)
+    for i in range(n):
+        if i == hold_out:
+            continue
+        d, c = cam.capture(poses[i])
+        vol = tsdf.integrate_frame(
+            vol, d.astype(np.float32) / 1000.0, c.astype(np.float32) / 255.0,
+            rays, world[i], cam.intrinsics, CFG.tsdf, backend="xla")
+    return poses, world, rays, vol
+
+
+def test_relocalizer_hint_rung_recovers_without_descriptors(cam):
+    """Rung 0 (hint-seeded model ICP): a near-miss hint must recover WITHOUT
+    the FPFH/RANSAC ladder — this is the path that works on the
+    feature-degenerate default scene at full resolution, where descriptor
+    matching starves (measured: global overlap ~0.06 on the 64-pose bench
+    volume; the hint rung recovers in a handful of dispatches)."""
+    from azurekinect3dreconstruction_tpu.tracking.relocalize import Relocalizer
+
+    poses, world, rays, vol = _fused_orbit(cam)
+    reloc = Relocalizer(cam.intrinsics, CFG, rays=rays, min_inliers=500,
+                        model_points=16384)
+    d, _ = cam.capture(poses[4])
+    # the hint is a NEIGHBOR pose several cm / degrees off the answer —
+    # exactly the "camera reappears near the loss site" episode
+    T = reloc.attempt(vol, d.astype(np.float32) / 1000.0, T_hint=world[3])
+    assert T is not None, f"relocalization rejected: {reloc.last_reject}"
+    t_err, r_err = _pose_err(T, world[4])
+    assert t_err < 0.05 and r_err < 0.1, (t_err, r_err)
+    assert reloc.n_hint_success == 1, "recovery should come from rung 0"
+
+
+def test_relocalizer_wrong_hint_never_returns_wrong_pose(cam):
+    """A garbage hint must not poison recovery: rung 0's strict overlap gate
+    rejects its wrong-basin ICP result and the ladder falls through to the
+    global rung — the attempt either returns a CORRECT pose or None, never
+    a confidently-wrong one."""
+    from azurekinect3dreconstruction_tpu.tracking.relocalize import Relocalizer
+
+    poses, world, rays, vol = _fused_orbit(cam)
+    reloc = Relocalizer(cam.intrinsics, CFG, rays=rays, min_inliers=500,
+                        model_points=16384)
+    d, _ = cam.capture(poses[4])
+    bad_hint = np.asarray(world[4], np.float64).copy()
+    bad_hint[:3, 3] += [0.9, -0.6, 0.8]  # far outside any ICP basin
+    T = reloc.attempt(vol, d.astype(np.float32) / 1000.0, T_hint=bad_hint)
+    assert reloc.n_hint_success == 0, "rung 0 must not accept a wrong basin"
+    if T is not None:  # global rung may still legitimately recover
+        t_err, r_err = _pose_err(T, world[4])
+        assert t_err < 0.05 and r_err < 0.1, (t_err, r_err)
+
+
 @pytest.mark.slow
 def test_pipeline_relocalizes_after_occlusion_and_jump(cam):
     """End-to-end: track, lose the view for a while (occlusion), resume at a
