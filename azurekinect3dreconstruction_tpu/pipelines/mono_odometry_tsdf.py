@@ -324,12 +324,12 @@ class MonoOdometryTSDF:
             self._check_tracking()
         if self.streaming is not None and not self.lost:
             # the manager owns the interval counter (one source of truth);
-            # the pose lambda evaluates only when a tick actually runs, so
-            # non-tick frames stay fully sync-free
+            # the DEVICE pose lets it prefetch the tick's inputs async —
+            # every frame (tick frames included) stays sync-free on the
+            # common path
             with self.telemetry.time_block("streaming"):
                 self.streaming.vol = self.volume
-                if self.streaming.maybe_tick(
-                        lambda: self.T_world_cam[:3, 3]):
+                if self.streaming.maybe_tick(lambda: self._T_dev):
                     self.volume = self.streaming.vol
         if (self.tracking == "frame_to_model"
                 and self.frame_index % self.model_refine_interval == 0):
@@ -445,8 +445,7 @@ class MonoOdometryTSDF:
             # high-water mark while lost (at most one eviction pass runs).
             with self.telemetry.time_block("streaming"):
                 self.streaming.vol = self.volume
-                if self.streaming.maybe_tick(
-                        lambda: self.T_world_cam[:3, 3]):
+                if self.streaming.maybe_tick(lambda: self._T_dev):
                     self.volume = self.streaming.vol
         recovered = False
         if self._lost_frames % self.reloc_interval == 0:

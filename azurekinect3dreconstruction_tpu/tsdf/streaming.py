@@ -15,17 +15,24 @@ volume in this framework, streamed or not.
 Mechanism (all fixed-shape, bucketed device calls):
 
 - **evict**: when the pool passes ``high_water``, blocks farther than
-  ``evict_dist`` from the camera are pulled to a host store (one bucketed
-  row gather) and the pool is COMPACTED device-side: survivors re-packed
-  into a dense prefix with one full-pool row gather + a fresh hash table
-  via ``hash.build_table`` (explicit key->slot mapping). The dense-prefix
-  invariant every consumer relies on (integrate masks, extraction prefix
-  scans) is preserved by construction.
+  ``evict_dist`` from the camera are gathered (one bucketed row gather)
+  and DMA'd into the device's HOST memory space (``pinned_host`` memory
+  kind — the TPU host's RAM, reached over its local PCIe), then the pool
+  is COMPACTED device-side: survivors re-packed into a dense prefix with
+  one full-pool row gather + a fresh hash table via ``hash.build_table``
+  (explicit key->slot mapping). The dense-prefix invariant every consumer
+  relies on (integrate masks, extraction prefix scans) is preserved by
+  construction. Nothing crosses to the *client* python process at tick
+  time: on a remote-tunnel device the eviction path moves ZERO tunnel
+  bytes (measured: the tunnel pull it replaces was 167 MB / 6.7 s on the
+  240-frame bench corridor — the entire streaming-vs-plain gap).
 - **reload**: stored blocks within ``reload_dist`` of the camera are
-  re-inserted (``hash.insert``) and their payloads scattered back. A fresh
-  slot restores the stored data BIT-EXACTLY; a block that was concurrently
-  re-allocated live (policy violation, see below) degrades gracefully to a
-  weighted merge instead of losing either side.
+  re-inserted (``hash.insert``): their batch is DMA'd back device-side
+  and the wanted rows scatter in one jitted call. A fresh slot restores
+  the stored data BIT-EXACTLY (pinned_host round-trips are pure DMA
+  copies); a block that was concurrently re-allocated live (policy
+  violation, see below) degrades gracefully to a weighted merge instead
+  of losing either side.
 - **frozen geometry**: marching-cubes cells of block B read corner values
   from B's positive-corner neighbors, so evicting V silently changes what
   B = V - corner would emit. The manager therefore keeps a per-block FROZEN
@@ -34,11 +41,15 @@ Mechanism (all fixed-shape, bucketed device calls):
   the frozen set is extracted right then (compact form of
   ``marching_cubes.extract_mesh_arrays`` — the same sel/nbr_sel machinery
   the incremental extractor uses) while all its corner suppliers are still
-  resident, and its triangle soup is cached on host. ``extract_mesh``
-  then emits live geometry only for un-frozen blocks (``emit_mask``) and
-  appends the cached soups: the result is BIT-IDENTICAL to a full
-  extraction of an infinite pool, because every cell is evaluated exactly
-  once against the same voxel values either live or at freeze time.
+  resident, and its triangle soup is cached — in device-host memory, like
+  the payload store: only the per-triangle CELL ids (12 bytes/triangle,
+  needed to split the soup per block) cross to the client at freeze time;
+  the 72-byte/triangle vertex+color data crosses once, at save time, when
+  it is the output anyway. ``extract_mesh`` then emits live geometry only
+  for un-frozen blocks (``emit_mask``) and appends the cached soups: the
+  result is BIT-IDENTICAL to a full extraction of an infinite pool,
+  because every cell is evaluated exactly once against the same voxel
+  values either live or at freeze time.
 
 Policy contract (what makes frozen caches immutable): integration can only
 touch blocks within ``depth_trunc + sdf_trunc`` of the camera, so with
@@ -60,7 +71,7 @@ eviction runs at tick cadence, size the headroom accordingly:
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +100,13 @@ unpack_np = vhash.unpack_key_np
 _bucket = mc.pow2_bucket
 
 
+class _SoupRef(NamedTuple):
+    """A frozen block's triangle range [a, b) within soup batch ``sid``."""
+    sid: int
+    a: int
+    b: int
+
+
 # ---------------------------------------------------------------------------
 # device ops (shapes bucketed by the host caller)
 # ---------------------------------------------------------------------------
@@ -96,9 +114,41 @@ _bucket = mc.pow2_bucket
 
 @jax.jit
 def _gather_rows(vol: TSDFVolume, slots):
-    """Compact payload of the given pool slots (for the eviction pull)."""
+    """Compact payload of the given pool slots (the eviction gather; block
+    coords are NOT gathered — the caller already holds them host-side from
+    the tick's state pull)."""
     s = jnp.asarray(slots, jnp.int32)
-    return vol.tsdf[s], vol.weight[s], vol.color[s], vol.block_coords[s]
+    return vol.tsdf[s], vol.weight[s], vol.color[s]
+
+
+@jax.jit
+def _sort_soup(v, c, perm):
+    """Reorder freshly-extracted triangles into per-block-contiguous order
+    (``perm`` is the host argsort of the triangles' block keys) and lay
+    them out (n, 3, 3) — the storage layout of the frozen-soup cache. Runs
+    device-side so the big vertex/color payload never crosses to the
+    client at freeze time (it is DMA'd to device-host memory instead)."""
+    p = jnp.asarray(perm, jnp.int32)
+    return v.transpose(2, 0, 1)[p], c.transpose(2, 0, 1)[p]
+
+
+def _mem_sharding(arr, kind: str):
+    """Single-device sharding pinning ``kind`` ('device' / 'pinned_host')
+    on the device that owns ``arr`` — the addressing scheme for the
+    device-host block store."""
+    from jax.sharding import SingleDeviceSharding
+
+    return SingleDeviceSharding(next(iter(arr.devices())), memory_kind=kind)
+
+
+def _put_mem(kind: str, *arrays):
+    """DMA arrays to the given memory space of their own device. On a TPU
+    this is a device<->host-RAM copy over the accelerator's local PCIe —
+    it never touches the client python process (zero tunnel bytes on a
+    remote device) and round-trips BIT-EXACTLY (pure copies). Asynchronous:
+    returns immediately with in-flight arrays."""
+    out = tuple(jax.device_put(a, _mem_sharding(a, kind)) for a in arrays)
+    return out if len(out) > 1 else out[0]
 
 
 @jax.jit
@@ -142,18 +192,23 @@ def _compact(vol: TSDFVolume, perm, n_keep) -> TSDFVolume:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _scatter_reload(vol: TSDFVolume, keys, coords, tK, wK, cK,
+def _scatter_reload(vol: TSDFVolume, keys, coords, bt, bw, bc, rows,
                     cfg: TSDFConfig):
-    """Insert stored blocks back into the pool. Fresh slots (the policy-
-    compliant case) restore the stored payload bit-exactly; a key that is
-    unexpectedly live again merges by integration weight instead of
-    clobbering either side. Padding lanes use keys == EMPTY_KEY.
+    """Insert stored blocks back into the pool. ``bt/bw/bc`` is one stored
+    eviction batch (already DMA'd back to device memory); ``rows`` selects
+    the wanted rows, gathered HERE so the pick fuses with the scatter.
+    Fresh slots (the policy-compliant case) restore the stored payload
+    bit-exactly; a key that is unexpectedly live again merges by
+    integration weight instead of clobbering either side. Padding lanes
+    use keys == EMPTY_KEY.
 
     Returns ``(vol, vals)`` — per-key assigned slots, MISS where the pool
-    was full. The caller re-stores dropped payloads and retries after the
-    next eviction, so a full-pool reload DEFERS instead of losing data (and
-    does not set the sticky overflow flag: it is recoverable, unlike a
-    working set that genuinely exceeds the pool)."""
+    was full. The caller keeps dropped entries in the store and retries
+    after the next eviction, so a full-pool reload DEFERS instead of
+    losing data (and does not set the sticky overflow flag: it is
+    recoverable, unlike a working set that genuinely exceeds the pool)."""
+    r = jnp.asarray(rows, jnp.int32)
+    tK, wK, cK = bt[r], bw[r], bc[r]
     cap = vol.tsdf.shape[0]
     table, counter, vals, _overflowed = vhash.insert(
         vol.table, vol.n_blocks, jnp.asarray(keys, jnp.int32),
@@ -214,10 +269,23 @@ class StreamingTSDF:
         self.check_interval = int(check_interval)
         self.max_cells = max_cells
         self.max_tris = max_tris
-        # key -> (tsdf (s,128), weight (s,128), color (3,s,128), coord (3,))
-        self.store: Dict[int, Tuple[np.ndarray, ...]] = {}
-        # key -> (verts (m, 3, 3), cols (m, 3, 3)); presence == frozen
-        self.soups: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        # The stores live in the DEVICE'S host memory (pinned_host memory
+        # kind), batched per eviction — tick-time traffic is device-local
+        # PCIe DMA, never client-bound (module docstring):
+        # bid -> [tsdf (K,s,128), weight (K,s,128), color (K,3,s,128)
+        #         (all pinned_host jax arrays), coords np (K,3), live_count]
+        self._pbatch: Dict[int, list] = {}
+        # key -> (bid, row) into _pbatch
+        self.store: Dict[int, Tuple[int, int]] = {}
+        # sid -> [verts (m,3,3), cols (m,3,3) (pinned_host), ref_count]
+        self._sbatch: Dict[int, list] = {}
+        # key -> _SoupRef into _sbatch, or an inline (verts, cols) numpy
+        # tuple for zero-triangle freezes; presence == frozen
+        self.soups: Dict[int, object] = {}
+        self._next_bid = 0
+        self._next_sid = 0
+        # (state arrays, pose) dispatched one frame ahead of the next tick
+        self._prefetch = None
         # key -> (exists (8,) bool, cks (8,) i32): the recorded state of the
         # block's +corner NEIGHBORHOOD (code 0 = self) when its soup was
         # cut. A soup stays valid exactly while that environment is
@@ -266,11 +334,14 @@ class StreamingTSDF:
         pool, empty store and caches."""
         self.vol = tsdf_volume.create(self.cfg)
         self.store.clear()
+        self._pbatch.clear()
         self.soups.clear()
+        self._sbatch.clear()
         self._soup_env.clear()
         self._stored_cks.clear()
         self._live_cks.clear()
         self._since_check = 0
+        self._prefetch = None
 
     # -- per-frame ----------------------------------------------------------
 
@@ -282,35 +353,85 @@ class StreamingTSDF:
         self.vol = tsdf_volume.integrate_frame(
             self.vol, depth, color, rays, T_world_cam, intr, self.cfg,
             stride=stride, backend=backend)
-        self.maybe_tick(lambda: np.asarray(T_world_cam, np.float64)[:3, 3])
+        self.maybe_tick(lambda: T_world_cam)  # (4,4) host or device — ok
 
     def maybe_tick(self, cam_pos) -> bool:
         """Count one frame; run :meth:`tick` when the interval elapses.
-        ``cam_pos`` may be a callable (evaluated only when the tick actually
-        runs — lets zero-sync pipelines defer their pose pull). The single
-        source of the interval counter: external integrators (e.g.
-        MonoOdometryTSDF) call this instead of keeping their own."""
+        ``cam_pos`` may be a callable (evaluated lazily — lets zero-sync
+        pipelines defer their pose pull); it may return a host (3,)
+        position, a host (4,4) pose, or a DEVICE array of either shape.
+        The single source of the interval counter: external integrators
+        (e.g. MonoOdometryTSDF) call this instead of keeping their own.
+
+        One frame BEFORE the tick, the tick's inputs (pool state + camera
+        pose) are dispatched and their host copies started asynchronously
+        (``copy_to_host_async``): the transfer rides under the next frame's
+        device compute, so the tick itself is SYNC-FREE on its common path
+        (nothing to reload/evict/refresh). The 1-frame-stale state is safe:
+        triggers tolerate it (eviction re-pulls fresh before acting — its
+        compaction permutation must match the live pool) and
+        :meth:`extract_mesh` does its own fresh pull + refresh, so
+        bit-exactness never rests on tick freshness."""
         self._since_check += 1
+        if (self._since_check == self.check_interval - 1
+                and self.check_interval > 1):
+            st = _state_pull(self.vol)
+            for a in st:
+                a.copy_to_host_async()
+            pose = cam_pos() if callable(cam_pos) else cam_pos
+            if isinstance(pose, jax.Array):
+                pose.copy_to_host_async()
+            self._prefetch = (st, pose)
+            return False
         if self._since_check < self.check_interval:
             return False
-        self.tick(cam_pos() if callable(cam_pos) else cam_pos)
+        pf, self._prefetch = self._prefetch, None
+        if pf is not None:
+            st, pose = pf
+            nb, bc, cks = (np.asarray(a) for a in st)
+            self.tick(pose, _state=(int(nb), bc, cks))
+        else:
+            pose = cam_pos() if callable(cam_pos) else cam_pos
+            self.tick(pose)
         return True
 
     # -- policy -------------------------------------------------------------
 
-    def tick(self, cam_pos: np.ndarray) -> None:
-        """Run reload-then-evict against the camera position. One host sync
-        (n_blocks + coords pull) per call — keep ``check_interval`` above 1
-        on a remote-tunnel device."""
+    def tick(self, cam_pos, _state=None) -> None:
+        """Run reload-then-evict against the camera position. Direct calls
+        sync once (n_blocks + coords pull); :meth:`maybe_tick` passes the
+        prefetched ``_state`` instead, making the common path sync-free.
+        A stale state only ever DEFERS work one tick (change detection is
+        vs snapshots, so nothing is missed permanently); anything that
+        mutates the pool against the state re-pulls fresh first."""
         self._since_check = 0
-        cam = np.asarray(cam_pos, np.float64).reshape(3)
+        self._prefetch = None  # a direct tick orphans any pending prefetch
+        cam = np.asarray(cam_pos, np.float64)
+        cam = (cam[:3, 3] if cam.shape == (4, 4) else cam.reshape(3))
         reloaded = self._maybe_reload(cam)
-        n, coords, cks = self._pull_state()
+        # a reload just changed the pool: the prefetched state no longer
+        # matches it (reload cadence — revisits only — so the extra pull
+        # amortizes to nothing)
+        fresh = _state is None or reloaded
+        n, coords, cks = self._pull_state() if fresh else _state
         n, coords, cks, r2 = self._supply_changed_live(n, coords, cks)
         n, coords, cks, r3 = self._refresh_frozen(n, coords, cks)
+        fresh = fresh or r2 or r3  # both re-pull after acting
         live_keys = pack_np(coords[:n])
         if n > self.high_water:
-            live_keys = self._evict(cam, n, coords, cks)
+            if not fresh:
+                # eviction compacts the pool with an explicit permutation
+                # and freeze-extracts against live voxel data — both must
+                # see the CURRENT pool, not the prefetched snapshot. Re-run
+                # the rules on a fresh pull (eviction cadence only).
+                n, coords, cks = self._pull_state()
+                n, coords, cks, r2b = self._supply_changed_live(n, coords,
+                                                                cks)
+                n, coords, cks, r3b = self._refresh_frozen(n, coords, cks)
+                r2, r3 = r2 or r2b, r3 or r3b
+                live_keys = pack_np(coords[:n])
+            if n > self.high_water:
+                live_keys = self._evict(cam, n, coords, cks)
         if reloaded or r2 or r3:
             self._unfreeze_sweep(live_keys)
         # snapshot for the next tick's change detection. Victims evicted
@@ -411,13 +532,23 @@ class StreamingTSDF:
                 if any(int(c) in self.store for c in stale_rows[k]):
                     deferred += 1
                     continue
-                self.soups.pop(k, None)
-                self._soup_env.pop(k, None)
+                self._drop_soup(k)
             if deferred:
                 log_warning(f"streaming: {deferred} invalidated frozen "
                             "caches kept (pool full; reload deferred)")
                 break
         return n, coords, cks, did
+
+    def _drop_soup(self, key: int) -> None:
+        """Remove a frozen soup (and its env record), releasing its batch
+        when the last reference goes."""
+        val = self.soups.pop(key, None)
+        self._soup_env.pop(key, None)
+        if isinstance(val, _SoupRef):
+            sb = self._sbatch[val.sid]
+            sb[2] -= 1
+            if sb[2] == 0:
+                del self._sbatch[val.sid]
 
     def _block_dist(self, coords: np.ndarray, cam: np.ndarray) -> np.ndarray:
         centers = (coords.astype(np.float64) + 0.5) * self.cfg.block_size
@@ -434,34 +565,66 @@ class StreamingTSDF:
         self._reload_keys(want)
         return True
 
+    def _store_payload(self, key: int, t, w, c, crd) -> None:
+        """Insert one block's payload into the store as a single-row batch
+        (host arrays accepted — DMA'd to device-host memory). Production
+        payloads arrive batched via :meth:`_evict`; this is the seam for
+        tests and external injection."""
+        bid = self._next_bid
+        self._next_bid += 1
+        th, wh, ch = _put_mem("pinned_host", jnp.asarray(t)[None],
+                              jnp.asarray(w)[None], jnp.asarray(c)[None])
+        self._pbatch[bid] = [th, wh, ch,
+                             np.asarray(crd, np.int32).reshape(1, 3), 1]
+        self.store[int(key)] = (bid, 0)
+
+    def _stored_payload(self, key: int):
+        """Pull one stored block's (tsdf, weight, color, coord) to numpy —
+        test/inspection seam (crosses the tunnel; batch pulls for bulk use
+        live in :meth:`extract_point_cloud`)."""
+        bid, row = self.store[int(key)]
+        b = self._pbatch[bid]
+        return (np.asarray(b[0])[row], np.asarray(b[1])[row],
+                np.asarray(b[2])[row], b[3][row])
+
     def _reload_keys(self, want: np.ndarray) -> None:
-        K = _bucket(len(want), 0)
-        keys = np.full(K, vhash.EMPTY_KEY, np.int32)
-        keys[: len(want)] = want
-        s = self.cfg.block_resolution ** 3 // 128
-        tK = np.zeros((K, s, 128), np.float32)
-        wK = np.zeros((K, s, 128), np.float32)
-        cK = np.zeros((K, 3, s, 128), np.float32)
-        crd = np.zeros((K, 3), np.int32)
-        payloads = []
-        for i, k in enumerate(want):
-            payloads.append(self.store.pop(int(k)))
-            tK[i], wK[i], cK[i], crd[i] = payloads[-1]
-        self.vol, vals = _scatter_reload(self.vol, keys, crd, tK, wK, cK,
-                                         cfg=self.cfg)
-        # a full pool DEFERS the reload instead of losing the payload: the
-        # dropped entries go back to the store (one vals pull — reload
-        # cadence, not per frame) and retry after the next eviction
-        dropped = set(np.flatnonzero(np.asarray(vals)[: len(want)] < 0)
-                      .tolist())
-        if dropped:
+        # group wanted rows by their eviction batch: each group DMAs its
+        # batch back to device memory (device-local, async) and scatters
+        # its rows in one jitted call — no payload bytes touch the client
+        groups: Dict[int, list] = {}
+        for k in want.tolist():
+            bid, row = self.store[int(k)]
+            groups.setdefault(bid, []).append((int(k), row))
+        n_deferred = 0
+        for bid, items in groups.items():
+            b = self._pbatch[bid]
+            K = _bucket(len(items), 0)
+            keys = np.full(K, vhash.EMPTY_KEY, np.int32)
+            rows = np.zeros(K, np.int32)
+            crd = np.zeros((K, 3), np.int32)
+            for i, (k, r) in enumerate(items):
+                keys[i], rows[i], crd[i] = k, r, b[3][r]
+            bt, bw, bc = _put_mem("device", b[0], b[1], b[2])
+            self.vol, vals = _scatter_reload(self.vol, keys, crd,
+                                             bt, bw, bc, rows, cfg=self.cfg)
+            # a full pool DEFERS the reload instead of losing the payload:
+            # dropped entries simply stay in the store (one vals pull —
+            # reload cadence, not per frame) and retry after the next
+            # eviction
+            dropped = set(np.flatnonzero(
+                np.asarray(vals)[: len(items)] < 0).tolist())
+            n_deferred += len(dropped)
+            for i, (k, _r) in enumerate(items):
+                if i in dropped:
+                    continue
+                del self.store[k]
+                self._stored_cks.pop(k, None)
+                b[4] -= 1
+            if b[4] == 0:
+                del self._pbatch[bid]
+        if n_deferred:
             log_warning(f"streaming: pool full, deferred reload of "
-                        f"{len(dropped)} blocks")
-        for i, k in enumerate(want):
-            if i in dropped:
-                self.store[int(k)] = payloads[i]
-            else:
-                self._stored_cks.pop(int(k), None)
+                        f"{n_deferred} blocks")
         self.n_reloads += 1
 
     def _evict(self, cam: np.ndarray, n: int, coords: np.ndarray,
@@ -494,14 +657,18 @@ class StreamingTSDF:
         if emit:
             self._freeze_extract(np.asarray(sorted(set(emit)), np.int64),
                                  live, live_keys, cks)
-        # pull victim payloads (bucketed) and store
+        # gather victim payloads (bucketed) and DMA them to device-host
+        # memory as one batch — async, zero client-bound bytes
         K = _bucket(len(victims), 0)
         slots = np.zeros(K, np.int32)
         slots[: len(victims)] = victims
-        tK, wK, cK, crd = (np.asarray(a) for a in
-                           _gather_rows(self.vol, slots))
+        tK, wK, cK = _put_mem("pinned_host",
+                              *_gather_rows(self.vol, slots))
+        bid = self._next_bid
+        self._next_bid += 1
+        self._pbatch[bid] = [tK, wK, cK, live[victims].copy(), len(victims)]
         for i, v in enumerate(victims):
-            self.store[int(vkeys[i])] = (tK[i], wK[i], cK[i], crd[i])
+            self.store[int(vkeys[i])] = (bid, i)
             self._stored_cks[int(vkeys[i])] = int(cks[v])
         # compact survivors into a dense prefix
         survivors = np.flatnonzero(~far)
@@ -548,15 +715,14 @@ class StreamingTSDF:
             min(cells_bucket, self.max_cells), self.max_tris,
             sel=jnp.asarray(sel), nbr_sel=jnp.asarray(nbr_pad),
             emit_mask=jnp.asarray(emit_c), return_cells=True)
-        # slice the pull to a bucketed triangle count: the full budget
-        # arrays are ~10+ MB through a 2-45 MB/s tunnel while a typical
-        # eviction emits a few-MB band (colors stay f32 — the frozen cache
-        # must remain bit-identical to live extraction, unlike the
-        # incremental preview's u8 wire format)
+        # only the CELL ids (12 bytes/triangle) cross to the client — they
+        # key the per-block soup split. The vertex/color payload (72
+        # bytes/triangle, f32: the frozen cache must remain bit-identical
+        # to live extraction, unlike the incremental preview's u8 wire
+        # format) is reordered per-block-contiguous DEVICE-side and DMA'd
+        # to device-host memory; it crosses once, at save time.
         nt = int(nt)
         ntb = _bucket(max(nt, 1), self.max_tris, lo=4096)
-        verts = np.asarray(v[:, :, :ntb]).transpose(2, 0, 1)[:nt]
-        cols = np.asarray(c[:, :, :ntb]).transpose(2, 0, 1)[:nt]
         blk = (np.asarray(cells[:, :ntb]).T[:nt]
                // self.cfg.block_resolution)
         tkeys = pack_np(blk)
@@ -565,10 +731,19 @@ class StreamingTSDF:
             self.soups[int(live_keys[s])] = (empty_v, empty_v)
         if nt:
             o = np.argsort(tkeys, kind="stable")
+            perm = np.zeros(ntb, np.int32)
+            perm[:nt] = o
+            vs, cs = _put_mem("pinned_host",
+                              *_sort_soup(v, c, jnp.asarray(perm)))
+            sid = self._next_sid
+            self._next_sid += 1
+            sb = [vs, cs, 0]
+            self._sbatch[sid] = sb
             tk, start = np.unique(tkeys[o], return_index=True)
             end = np.append(start[1:], nt)
             for k, a, b in zip(tk, start, end):
-                self.soups[int(k)] = (verts[o[a:b]], cols[o[a:b]])
+                self.soups[int(k)] = _SoupRef(sid, int(a), int(b))
+                sb[2] += 1
 
     def _run_extract(self, max_cells: int, max_tris: int, **kw):
         """extract_mesh_arrays with persistent grow-on-overflow budgets
@@ -601,8 +776,7 @@ class StreamingTSDF:
                 continue
             if any(int(nk) in stored for nk in nbrs[i]):
                 continue
-            del self.soups[k]
-            self._soup_env.pop(k, None)
+            self._drop_soup(k)
 
     # -- extraction ---------------------------------------------------------
 
@@ -625,8 +799,22 @@ class StreamingTSDF:
         n, coords, cks, r3 = self._refresh_frozen(n, coords, cks)
         if r2 or r3:
             self._unfreeze_sweep(pack_np(coords[:n]))
-        parts_v = [v for v, _ in self.soups.values()]
-        parts_c = [c for _, c in self.soups.values()]
+        # pull each frozen-soup batch ONCE (this is where the cached
+        # geometry finally crosses to the client — save cadence; rows of
+        # since-dropped soups ride along, bounded by the batch)
+        pulled: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        parts_v, parts_c = [], []
+        for val in self.soups.values():
+            if isinstance(val, _SoupRef):
+                if val.sid not in pulled:
+                    sb = self._sbatch[val.sid]
+                    pulled[val.sid] = (np.asarray(sb[0]), np.asarray(sb[1]))
+                pv, pc = pulled[val.sid]
+                parts_v.append(pv[val.a:val.b])
+                parts_c.append(pc[val.a:val.b])
+            else:
+                parts_v.append(val[0])
+                parts_c.append(val[1])
         if n:
             live_keys = pack_np(coords[:n])
             emit = np.zeros((self.cfg.block_capacity,), bool)
@@ -668,11 +856,19 @@ class StreamingTSDF:
             w4 = np.empty((K, R, R, R), np.float32)
             c5 = np.empty((K, R, R, R, 3), np.float32)
             crd = np.empty((K, 3), np.int32)
-            for i, (tK, wK, cK, co) in enumerate(self.store.values()):
-                t4[i] = tK.reshape(R, R, R)
-                w4[i] = wK.reshape(R, R, R)
-                c5[i] = cK.reshape(3, R * R * R).T.reshape(R, R, R, 3)
-                crd[i] = co
+            # pull each payload batch once (save cadence — the one place
+            # stored voxel data crosses to the client)
+            pulled: Dict[int, Tuple[np.ndarray, ...]] = {}
+            for i, (key, (bid, row)) in enumerate(self.store.items()):
+                if bid not in pulled:
+                    b = self._pbatch[bid]
+                    pulled[bid] = (np.asarray(b[0]), np.asarray(b[1]),
+                                   np.asarray(b[2]), b[3])
+                tB, wB, cB, crdB = pulled[bid]
+                t4[i] = tB[row].reshape(R, R, R)
+                w4[i] = wB[row].reshape(R, R, R)
+                c5[i] = cB[row].reshape(3, R * R * R).T.reshape(R, R, R, 3)
+                crd[i] = crdB[row]
             sp, sc = tsdf_volume.host_interior_crossings(
                 t4, w4, c5, crd, self.cfg)
             pts = np.concatenate([pts, sp])

@@ -308,12 +308,12 @@ def test_reload_defers_when_pool_full(corridor):
     payload = (np.ones((s, 128), np.float32), np.ones((s, 128), np.float32),
                np.zeros((3, s, 128), np.float32),
                np.array([50, 50, 50], np.int32))
-    sv.store[key] = payload
+    sv._store_payload(key, *payload)
     sv._stored_cks[key] = 123
     sv._reload_keys(np.array([key], np.int32))
     assert key in sv.store, "deferred payload must survive in the store"
     assert sv._stored_cks[key] == 123
-    np.testing.assert_array_equal(sv.store[key][0], payload[0])
+    np.testing.assert_array_equal(sv._stored_payload(key)[0], payload[0])
 
 
 def test_compact_preserves_volume_semantics(corridor):
