@@ -353,3 +353,36 @@ def test_compact_preserves_volume_semantics(corridor):
     np.testing.assert_array_equal(t3[in_kept], t0[in_kept])
     np.testing.assert_array_equal(w3[in_kept], w0[in_kept])
     assert np.all(w3[~in_kept] == 0.0)
+
+
+def test_direct_tick_orphans_pending_prefetch(corridor):
+    """A tick issued between maybe_tick's prefetch frame and its tick frame
+    (e.g. an explicit policy run from a script) must invalidate the pending
+    prefetched state: consuming it later would hand the tick a snapshot
+    from BEFORE the interposed tick's reload/evict mutations. The interval
+    cycle must also keep ticking correctly afterwards."""
+    intr, rays, frame = corridor
+    sv = StreamingTSDF(SMALL, evict_dist=1.4, reload_dist=1.1,
+                       high_water=0.75, check_interval=4,
+                       max_cells=1 << 14, max_tris=1 << 16)
+    ticks = {"n": 0}
+    orig = sv.tick
+
+    def counting_tick(cam_pos, _state=None):
+        ticks["n"] += 1
+        # a consumed prefetch must never be the orphaned one
+        orig(cam_pos, _state=_state)
+
+    sv.tick = counting_tick
+    for i in range(3):  # frames 1..3: frame 3 is the prefetch frame
+        d, c, T = frame(0.04 * i)
+        sv.integrate_frame(d, c, rays, T, intr, backend="xla")
+    assert sv._prefetch is not None  # prefetch staged one frame early
+    orig(np.zeros(3))  # direct tick: orphan it
+    assert sv._prefetch is None
+    # the counter restarted: three more frames re-stage a prefetch, the
+    # fourth consumes it
+    for i in range(4):
+        d, c, T = frame(0.04 * (3 + i))
+        sv.integrate_frame(d, c, rays, T, intr, backend="xla")
+    assert ticks["n"] == 1 and sv._prefetch is None
