@@ -119,6 +119,8 @@ class MonoOdometryTSDF:
         self._step = None  # lazily-built fused (odometry+fusion) step
         self._f2m_step = None  # lazily-built fused frame-to-model step
         self._f2m_ok_dev = []  # device refinement-gate flags (lazy counters)
+        self._model_ovf_dev = []  # device refresh-overflow flags (ditto)
+        self._nb_prefetch = None  # async block count for the next refresh
         self.relocalize = relocalize
         self.reloc_window = reloc_window
         self.reloc_interval = reloc_interval
@@ -180,6 +182,8 @@ class MonoOdometryTSDF:
         self.frame_index = 0
         self._model = None
         self._f2m_ok_dev = []
+        self._model_ovf_dev = []
+        self._nb_prefetch = None
         self.lost = False
         self._lost_dev = jnp.float32(0.0)
         self._lost_frames = 0
@@ -239,7 +243,9 @@ class MonoOdometryTSDF:
     def _flush_f2m(self) -> None:
         """Pull pending refinement-gate flags (one stacked sync) into the
         model_icp_ok/skip counters — called from the lazy host views so the
-        hot loop never syncs for telemetry."""
+        hot loop never syncs for telemetry. Model-refresh overflow flags
+        (the sample was truncation-biased — surfaced, never hidden) ride
+        the same flush."""
         if self._f2m_ok_dev:
             oks = np.asarray(jnp.stack(self._f2m_ok_dev))
             self._f2m_ok_dev = []
@@ -247,6 +253,65 @@ class MonoOdometryTSDF:
                 self.telemetry.count("model_icp_ok", int(oks.sum()))
             if (~oks).sum():
                 self.telemetry.count("model_icp_skip", int((~oks).sum()))
+        if self._model_ovf_dev:
+            ovfs = np.asarray(jnp.stack(self._model_ovf_dev))
+            self._model_ovf_dev = []
+            if ovfs.sum():
+                self.telemetry.count("model_truncated", int(ovfs.sum()))
+
+    def _maybe_refresh_model(self) -> None:
+        """Refresh the device-resident model surface at
+        ``model_refine_interval`` cadence: budget-bounded marching-cubes
+        VERTICES (shared sampler — mc.extract_surface_samples_device),
+        restricted VIEW-LOCALLY first: only blocks within integration reach
+        of the current pose can project into a frame, so on maps larger
+        than the view a full-pool sample wastes most of the budget on
+        geometry the projective refinement can never use (observed live: a
+        room-scale scan overflowed the 4x emission every refresh, biasing
+        the model toward the oldest-scanned corner — the exact region the
+        camera had LEFT).
+
+        SYNC-FREE on the refresh frame: the extraction prefix comes from a
+        block count whose host copy was STARTED one frame earlier
+        (copy_to_host_async below — by refresh time the 4-byte value has
+        long landed, so int() does not block on the device queue), padded
+        by one frame's plausible allocation before snapping to the rung
+        ladder; the view-local compaction keys off device scalars only
+        (an all-near scene compacts to itself — a cheap on-device copy);
+        the subsample strides device-side; the overflow flag defers to the
+        telemetry flush. A >pad single-frame allocation burst (only
+        possible in the one frame between prefetch and refresh) leaves
+        the newest blocks out of ONE refresh, corrected at the next."""
+        interval = self.model_refine_interval
+        if self.frame_index % interval == 0:
+            with self.telemetry.time_block("model_refresh"):
+                from azurekinect3dreconstruction_tpu.tsdf.streaming import (
+                    _compact,
+                )
+
+                if self._nb_prefetch is not None:
+                    nb = int(np.asarray(self._nb_prefetch)) + 1024
+                else:  # first refresh (frame 0): nothing to prefetch from
+                    nb = int(self.volume.n_blocks)
+                E = mc.snap_extract_blocks(nb, self.cfg.tsdf.block_capacity)
+                perm, n_near = _near_block_perm(
+                    self.volume.block_coords, self.volume.n_blocks,
+                    self._T_dev, self._model_reach(),
+                    self.cfg.tsdf.block_size)
+                sub = _compact(self.volume, perm, n_near)  # non-donating
+                pts, mask, ovf = mc.extract_surface_samples_device(
+                    sub, self.cfg.tsdf, self.model_points, extract_blocks=E)
+                self._model = (pts, mask)
+                self._model_ovf_dev.append(ovf)
+            self._nb_prefetch = None
+        elif (self.frame_index + 1) % interval == 0:
+            # one frame ahead of the next refresh: start the block count's
+            # host copy so the refresh never blocks on the device queue.
+            # COPY the scalar first — the fused step donates its volume,
+            # so aliasing vol.n_blocks would hand the refresh a buffer the
+            # next dispatch deletes
+            self._nb_prefetch = self.volume.n_blocks.copy()
+            self._nb_prefetch.copy_to_host_async()
 
     def process_frame(self, depth_raw, color_raw):
         """Track + fuse one frame; returns the (device-resident) camera-to-
@@ -331,41 +396,8 @@ class MonoOdometryTSDF:
                 self.streaming.vol = self.volume
                 if self.streaming.maybe_tick(lambda: self._T_dev):
                     self.volume = self.streaming.vol
-        if (self.tracking == "frame_to_model"
-                and self.frame_index % self.model_refine_interval == 0):
-            # refresh the device-resident model surface: budget-bounded
-            # marching-cubes VERTICES (shared sampler —
-            # mc.extract_surface_samples), restricted VIEW-LOCALLY first:
-            # only blocks within integration reach of the current pose can
-            # project into a frame, so on maps larger than the view the
-            # full-pool sample would waste most of the budget on geometry
-            # the projective refinement can never use (observed live: a
-            # room-scale scan overflowed the 4x emission every refresh,
-            # biasing the model toward the oldest-scanned corner — the
-            # exact region the camera had LEFT). Selection is one fused
-            # device dispatch + one scalar sync at refresh cadence; scenes
-            # that fit the reach take the unchanged full-pool path.
-            with self.telemetry.time_block("model_refresh"):
-                sub = self.volume
-                nb = int(self.volume.n_blocks)
-                perm, n_near = _near_block_perm(
-                    self.volume.block_coords, self.volume.n_blocks,
-                    self._T_dev, self._model_reach(),
-                    self.cfg.tsdf.block_size)
-                if int(n_near) < nb:
-                    from azurekinect3dreconstruction_tpu.tsdf.streaming import (
-                        _compact,
-                    )
-
-                    sub = _compact(self.volume, perm, n_near)  # non-donating
-                pts, mask, ovf = mc.extract_surface_samples(
-                    sub, self.cfg.tsdf, self.model_points)
-                self._model = (pts, mask)
-            if bool(ovf):
-                # even the VIEW-LOCAL surface exceeds the 4x emission: the
-                # subset is biased toward this region's oldest blocks —
-                # surface it instead of hiding it
-                self.telemetry.count("model_truncated")
+        if self.tracking == "frame_to_model":
+            self._maybe_refresh_model()
         self.telemetry.tick_frame()
         self.telemetry.maybe_report()
         return self._T_dev

@@ -335,6 +335,41 @@ def icp_point_to_point(src_points, src_mask, tgt_points, tgt_mask,
     return ICPResult(T=T, fitness=fit, inlier_rmse=rmse, inliers=n_in)
 
 
+@partial(jax.jit, static_argnames=("intr",))
+def projective_overlap(src_points, src_mask, tgt: TargetMaps,
+                       intr: Intrinsics, T, dist_thr: float = 0.05):
+    """(matched, visible, rmse) of ``src`` under ``T`` against organized
+    target maps. ``visible`` counts source points that project in-bounds
+    onto valid target depth/normals with positive depth both sides —
+    i.e. points the FRAME can actually testify about; ``matched`` are the
+    visible points within ``dist_thr`` of the surface.
+
+    ``matched / visible`` is the density-robust form of an overlap gate
+    when the source cloud is a budget-bounded MODEL sample and the target
+    is a dense frame: normalizing by all source points punishes map
+    regions outside the frustum (most of a grown map), while the
+    cloud-to-sparse-cloud ``evaluate_registration`` direction saturates
+    below 1 at the model's sampling density even for a perfect pose
+    (measured: 0.56 at a 0.6 mm-true recovery against a truncated 32k
+    sample — tracking/relocalize.py hint gate)."""
+    p = se3.transform_points(jnp.asarray(T, jnp.float32),
+                             jnp.asarray(src_points, jnp.float32))
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+    zs = jnp.maximum(pz, 1e-6)
+    uv = jnp.stack([px / zs * intr.fx + intr.cx,
+                    py / zs * intr.fy + intr.cy], axis=-1)
+    q, inb = nearest_sample(tgt.points, uv)
+    n, _ = nearest_sample(tgt.normals, uv)
+    has_n = jnp.sum(n * n, axis=-1) > 0.5
+    visible = src_mask & inb & (pz > 1e-4) & (q[..., 2] > 0) & has_n
+    dist = jnp.linalg.norm(p - q, axis=-1)
+    matched = visible & (dist < dist_thr)
+    n_m = jnp.sum(matched.astype(jnp.int32))
+    rmse = jnp.sqrt(jnp.sum(jnp.where(matched, dist**2, 0.0))
+                    / jnp.maximum(n_m, 1))
+    return n_m, jnp.sum(visible.astype(jnp.int32)), rmse
+
+
 @partial(jax.jit, static_argnames=("capacity",))
 def evaluate_registration(src_points, src_mask, tgt_points, tgt_mask, T,
                           dist_thr: float = 0.02, capacity: int = 16384):

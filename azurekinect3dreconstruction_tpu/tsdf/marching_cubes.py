@@ -534,6 +534,41 @@ def extract_surface_samples(vol: TSDFVolume, cfg: TSDFConfig,
     return pts, mask, ovf
 
 
+def extract_surface_samples_device(vol: TSDFVolume, cfg: TSDFConfig,
+                                   n_points: int, extract_blocks: int,
+                                   max_cells: int = 64 * 8192):
+    """ZERO-SYNC twin of :func:`extract_surface_samples` for hot-loop
+    callers (the frame-to-model refresh runs at tracking cadence and every
+    host round-trip there is ~27 ms of tunnel RTT — docs/PERF.md): the
+    caller supplies the static extraction prefix (e.g. from a prefetched
+    block count), the stride subsample happens device-side, and overflow
+    comes back as a DEVICE flag for deferred telemetry. Same sampling
+    semantics: identical stride ladder, identical indices, identical mask
+    arithmetic — only where the scalars live differs."""
+    mtris = max(n_points // 3, 1)
+    v, _c, n_tris, ovf = extract_mesh_arrays(
+        vol, cfg, max_cells=max_cells, max_tris=4 * mtris,
+        extract_blocks=extract_blocks)
+    pts, mask = _stride_subsample(v, n_tris, mtris)
+    return pts, mask, ovf
+
+
+@partial(jax.jit, static_argnames=("mtris",))
+def _stride_subsample(v, n_tris, mtris: int):
+    """Device-side form of the stride pick in extract_surface_samples:
+    stride in {1, 2, 4} by emission size, gather every stride-th triangle,
+    mask the kept prefix."""
+    nt = n_tris.astype(jnp.int32)
+    stride = jnp.where(nt <= mtris, 1, jnp.where(nt <= 2 * mtris, 2, 4))
+    idx = jnp.arange(mtris, dtype=jnp.int32) * stride
+    idx = jnp.minimum(idx, v.shape[2] - 1)
+    pts = v[:, :, idx].transpose(2, 0, 1).reshape(-1, 3)
+    n_keep = jnp.minimum((nt + stride - 1) // stride, mtris)
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (3 * mtris, 1), 0)[:, 0]
+            < 3 * n_keep)
+    return pts, mask
+
+
 @partial(jax.jit, static_argnames=("cfg", "extract_blocks"))
 def count_active_bricks(vol: TSDFVolume, cfg: TSDFConfig,
                         extract_blocks: int):

@@ -583,7 +583,11 @@ def main():
                               tracking="frame_to_model",
                               model_refine_interval=5)
     pipe_m.telemetry.sink = lambda s: None
-    for d, c in dev_frames[:6]:  # compiles the f2m step + the model refresh
+    # warm pass over the FULL sweep: the model refresh walks the extraction
+    # prefix rung ladder as the pool grows, and each rung is its own
+    # executable — a short warm pass leaves rung compiles inside the timed
+    # window (measured: 2.0 "fps" with 6 warm frames vs the real rate)
+    for d, c in dev_frames:
         pipe_m.process_frame(d, c)
     jax.block_until_ready((pipe_m.volume.tsdf, pipe_m._T_dev))
     pipe_m.reset()
