@@ -276,8 +276,8 @@ class MonoOdometryTSDF:
         (copy_to_host_async below — by refresh time the 4-byte value has
         long landed, so int() does not block on the device queue), padded
         by one frame's plausible allocation before snapping to the rung
-        ladder; the view-local compaction keys off device scalars only
-        (an all-near scene compacts to itself — a cheap on-device copy);
+        ladder; the view-local selection rides the extraction's
+        ``emit_mask`` (device scalars only — no pool copy, no count sync);
         the subsample strides device-side; the overflow flag defers to the
         telemetry flush. A >pad single-frame allocation burst (only
         possible in the one frame between prefetch and refresh) leaves
@@ -285,22 +285,18 @@ class MonoOdometryTSDF:
         interval = self.model_refine_interval
         if self.frame_index % interval == 0:
             with self.telemetry.time_block("model_refresh"):
-                from azurekinect3dreconstruction_tpu.tsdf.streaming import (
-                    _compact,
-                )
-
                 if self._nb_prefetch is not None:
                     nb = int(np.asarray(self._nb_prefetch)) + 1024
                 else:  # first refresh (frame 0): nothing to prefetch from
                     nb = int(self.volume.n_blocks)
                 E = mc.snap_extract_blocks(nb, self.cfg.tsdf.block_capacity)
-                perm, n_near = _near_block_perm(
+                emit = _near_block_mask(
                     self.volume.block_coords, self.volume.n_blocks,
                     self._T_dev, self._model_reach(),
                     self.cfg.tsdf.block_size)
-                sub = _compact(self.volume, perm, n_near)  # non-donating
                 pts, mask, ovf = mc.extract_surface_samples_device(
-                    sub, self.cfg.tsdf, self.model_points, extract_blocks=E)
+                    self.volume, self.cfg.tsdf, self.model_points,
+                    extract_blocks=E, emit_mask=emit)
                 self._model = (pts, mask)
                 self._model_ovf_dev.append(ovf)
             self._nb_prefetch = None
@@ -559,19 +555,21 @@ class MonoOdometryTSDF:
 
 
 @jax.jit
-def _near_block_perm(block_coords, n_blocks, T_world_cam, reach, block_size):
-    """View-local block selection for the frame-to-model refresh: a
-    compaction permutation putting alive blocks whose centers lie within
-    ``reach`` of the camera first (stable, so pool order — and therefore
-    the sampler's coverage pattern — is preserved among survivors), plus
-    their count. One fused dispatch; the caller syncs only the count."""
+def _near_block_mask(block_coords, n_blocks, T_world_cam, reach, block_size):
+    """View-local block selection for the frame-to-model refresh: the
+    per-slot mask of alive blocks whose centers lie within ``reach`` of the
+    camera. Handed to the extraction's ``emit_mask`` (only masked blocks'
+    cells emit), which restricts the sample to the view WITHOUT copying the
+    pool the way a compaction would (a full-pool _compact held a second
+    ~GB-scale volume alive and OOMed the 16k-pool bench) and without any
+    count sync. Pool order — and so the sampler's coverage pattern — is
+    preserved by construction."""
     cap = block_coords.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
     alive = iota < n_blocks
     centers = (block_coords.astype(jnp.float32) + 0.5) * jnp.float32(block_size)
     d = jnp.linalg.norm(centers - T_world_cam[:3, 3], axis=1)
-    near = alive & (d <= reach)
-    return jnp.argsort(~near, stable=True).astype(jnp.int32), near.sum()
+    return alive & (d <= reach)
 
 
 def apply_odometry_gate(T_prev, res, min_fitness: float):

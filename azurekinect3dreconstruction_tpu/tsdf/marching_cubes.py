@@ -536,7 +536,8 @@ def extract_surface_samples(vol: TSDFVolume, cfg: TSDFConfig,
 
 def extract_surface_samples_device(vol: TSDFVolume, cfg: TSDFConfig,
                                    n_points: int, extract_blocks: int,
-                                   max_cells: int = 64 * 8192):
+                                   max_cells: int = 64 * 8192,
+                                   emit_mask=None):
     """ZERO-SYNC twin of :func:`extract_surface_samples` for hot-loop
     callers (the frame-to-model refresh runs at tracking cadence and every
     host round-trip there is ~27 ms of tunnel RTT — docs/PERF.md): the
@@ -548,7 +549,7 @@ def extract_surface_samples_device(vol: TSDFVolume, cfg: TSDFConfig,
     mtris = max(n_points // 3, 1)
     v, _c, n_tris, ovf = extract_mesh_arrays(
         vol, cfg, max_cells=max_cells, max_tris=4 * mtris,
-        extract_blocks=extract_blocks)
+        extract_blocks=extract_blocks, emit_mask=emit_mask)
     pts, mask = _stride_subsample(v, n_tris, mtris)
     return pts, mask, ovf
 

@@ -479,14 +479,11 @@ def test_frame_to_model_refresh_is_view_local(cam):
     from azurekinect3dreconstruction_tpu.core.camera import pixel_rays
     from azurekinect3dreconstruction_tpu.core.types import RGBDFrame
     from azurekinect3dreconstruction_tpu.pipelines.mono_odometry_tsdf import (
-        _near_block_perm,
+        _near_block_mask,
     )
     from azurekinect3dreconstruction_tpu.tsdf import marching_cubes as mc
     from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf
-    from azurekinect3dreconstruction_tpu.tsdf.streaming import (
-        StreamingTSDF,
-        _compact,
-    )
+    from azurekinect3dreconstruction_tpu.tsdf.streaming import StreamingTSDF
 
     ccfg = SMALL_CFG.camera
     rays = pixel_rays(cam.intrinsics)
@@ -503,12 +500,14 @@ def test_frame_to_model_refresh_is_view_local(cam):
                                    backend="xla")
     nb = int(vol.n_blocks)
     reach = StreamingTSDF.integration_reach(SMALL_CFG) + 0.25
-    perm, n_near = _near_block_perm(vol.block_coords, vol.n_blocks,
-                                    jnp.eye(4, dtype=jnp.float32), reach,
-                                    SMALL_CFG.tsdf.block_size)
-    assert 0 < int(n_near) < nb, (int(n_near), nb)
-    sub = _compact(vol, perm, n_near)
-    pts, mask, _ = mc.extract_surface_samples(sub, SMALL_CFG.tsdf, 4096)
+    near = _near_block_mask(vol.block_coords, vol.n_blocks,
+                            jnp.eye(4, dtype=jnp.float32), reach,
+                            SMALL_CFG.tsdf.block_size)
+    n_near = int(np.asarray(near).sum())
+    assert 0 < n_near < nb, (n_near, nb)
+    E = mc.snap_extract_blocks(nb, SMALL_CFG.tsdf.block_capacity)
+    pts, mask, _ = mc.extract_surface_samples_device(
+        vol, SMALL_CFG.tsdf, 4096, extract_blocks=E, emit_mask=near)
     p = np.asarray(pts)[np.asarray(mask)]
     assert len(p) > 100
     assert (np.linalg.norm(p, axis=1) <= reach + SMALL_CFG.tsdf.block_size
