@@ -175,3 +175,30 @@ def test_weld_vertices_preserves_geometry():
     edges = np.sort(edges, axis=1)
     _, counts = np.unique(edges, axis=0, return_counts=True)
     assert (counts % 2 == 0).all()
+
+
+def test_surface_sampler_device_matches_host():
+    """The zero-sync device sampler (extract_surface_samples_device — the
+    frame-to-model refresh path) must reproduce the host sampler bit-exactly
+    when given the same extraction prefix: same stride ladder, same indices,
+    same mask arithmetic, only where the scalars live differs. Checked at a
+    budget that forces stride > 1 (the interesting branch) and one that
+    keeps stride == 1."""
+    R = CFG.block_resolution
+    n = 4 * R
+    g = (np.arange(n) + 0.5) * CFG.voxel_size
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    c = n * CFG.voxel_size / 2
+    field = (np.sqrt((X - c) ** 2 + (Y - c) ** 2 + (Z - c) ** 2) - 0.22) / CFG.sdf_trunc
+    field = np.clip(field, -1, 1).astype(np.float32)
+    vol = build_volume_from_field(field, CFG)
+    E = mc.snap_extract_blocks(int(vol.n_blocks), CFG.block_capacity)
+    for budget in (512, 4096, 65536):  # strides 4, 2/4, 1 on this scene
+        hp, hm, hovf = mc.extract_surface_samples(vol, CFG, budget,
+                                                  max_cells=16384)
+        dp, dm, dovf = mc.extract_surface_samples_device(
+            vol, CFG, budget, extract_blocks=E, max_cells=16384)
+        np.testing.assert_array_equal(np.asarray(hm), np.asarray(dm))
+        np.testing.assert_array_equal(np.asarray(hp)[np.asarray(hm)],
+                                      np.asarray(dp)[np.asarray(dm)])
+        assert bool(hovf) == bool(dovf)
