@@ -43,6 +43,7 @@ from azurekinect3dreconstruction_tpu.ops.neighbors import (
 from azurekinect3dreconstruction_tpu.tracking.features import compute_fpfh
 from azurekinect3dreconstruction_tpu.tracking.icp import (
     TargetMaps,
+    colored_icp,
     evaluate_registration,
     icp_point_to_plane,
 )
@@ -61,10 +62,14 @@ class DualCameraFusion:
     def __init__(self, intrinsics: Tuple[Intrinsics, Intrinsics],
                  config: Optional[PipelineConfig] = None,
                  backend: str = "auto", output_dir: str = "results",
-                 sharded: bool = False):
+                 sharded: bool = False, colored_calibration: bool = False):
+        """``colored_calibration``: route the auto-calibration and 'R'-key
+        recalibration through the colored-ICP refinement (see
+        :meth:`calibrate`)."""
         self.intr = list(intrinsics)
         self.cfg = config or PipelineConfig()
         self.backend = backend
+        self.colored_calibration = colored_calibration
         self.rays = [pixel_rays(i) for i in self.intr]
         # camera 0 defines the world frame; extrinsics[i] = T_world_cam_i
         self.extrinsics = [np.eye(4), None]
@@ -107,7 +112,18 @@ class DualCameraFusion:
 
     # -- calibration (reference calibrate_cameras :609-665) -------------------
     def calibrate(self, frames: Tuple[RGBDFrame, RGBDFrame],
-                  refine_only: bool = False) -> bool:
+                  refine_only: bool = False, colored: bool = False) -> bool:
+        """``colored``: refine the extrinsic with COLORED ICP instead of
+        point-to-plane — the BASELINE config-4 combination (reference
+        Works2CamerasCOLORVisualizer.py:189-279 family registers the color
+        clouds). Two-camera rigs are typically calibrated against exactly
+        the geometry point-to-plane cannot lock: a flat textured wall has
+        three unconstrained DoF (two in-plane translations + in-plane
+        rotation), so the p2p refinement can slide along it while every
+        residual stays zero; the photometric term of
+        :func:`tracking.icp.colored_icp` pins those DoF to the texture
+        (Park et al.'s (1-λ) photometric + λ point-to-plane objective).
+        Same overlap gate as the geometric path."""
         reg = self.cfg.registration
         clouds = []
         for i, f in enumerate(frames):
@@ -117,15 +133,28 @@ class DualCameraFusion:
             dm = remove_statistical_outliers(ds, dm, k=12, radius=0.06)
             clouds.append((ds, dm))
         (p0, m0), (p1, m1) = clouds
+        tgt = TargetMaps.from_depth(
+            frames[0].depth, self.intr[0], rays=self.rays[0],
+            intensity=frames[0].intensity if colored else None)
+
+        def refine(init):
+            if colored:
+                # full-density organized source with per-pixel intensity
+                # (the downsampled cloud has no color channel; stride 2
+                # keeps the photometric term dense enough to grade texture)
+                sp = backproject_depth(frames[1].depth,
+                                       self.rays[1])[::2, ::2].reshape(-1, 3)
+                si = frames[1].intensity[::2, ::2].reshape(-1)
+                return colored_icp(sp, si, sp[:, 2] > 0, tgt, self.intr[0],
+                                   init=init, cfg=reg)
+            return icp_point_to_plane(p1, m1, tgt, self.intr[0], init=init,
+                                      cfg=reg)
 
         if refine_only and self.extrinsics[1] is not None:
             # 'R'-key recalibration: ICP seeded by the current extrinsic
             # (reference :258-262)
-            tgt = TargetMaps.from_depth(frames[0].depth, self.intr[0],
-                                        rays=self.rays[0])
             init = np.linalg.inv(self.extrinsics[0]) @ self.extrinsics[1]
-            res = icp_point_to_plane(p1, m1, tgt, self.intr[0],
-                                     init=jnp.asarray(init, jnp.float32), cfg=reg)
+            res = refine(jnp.asarray(init, jnp.float32))
             T01 = np.asarray(res.T, np.float64)
             fit = float(res.fitness)
         else:
@@ -136,9 +165,7 @@ class DualCameraFusion:
             self._key, sub = jax.random.split(self._key)
             g = global_registration(p1, f1, m1, p0, f0, m0, sub, reg)
             # refine with projective ICP against camera 0's maps
-            tgt = TargetMaps.from_depth(frames[0].depth, self.intr[0],
-                                        rays=self.rays[0])
-            res = icp_point_to_plane(p1, m1, tgt, self.intr[0], init=g.T, cfg=reg)
+            res = refine(g.T)
             T01 = np.asarray(res.T, np.float64)
             fit, _ = evaluate_registration(p1, m1, p0, m0,
                                            jnp.asarray(T01, jnp.float32),
@@ -168,7 +195,8 @@ class DualCameraFusion:
         frames = self._decoded_frames()
         if None in frames:
             return False
-        return self.calibrate(tuple(frames), refine_only=True)
+        return self.calibrate(tuple(frames), refine_only=True,
+                              colored=self.colored_calibration)
 
     def _decoded_frames(self) -> List[Optional[RGBDFrame]]:
         """Decoded views of the most recent pair, produced ON DEMAND: the hot
@@ -208,7 +236,8 @@ class DualCameraFusion:
         self._last_raw = [(jnp.asarray(d), jnp.asarray(c)) for d, c in pair]
         self._frames_stale = True
         if not self.calibrated:
-            self.calibrate(tuple(self._decoded_frames()))
+            self.calibrate(tuple(self._decoded_frames()),
+                           colored=self.colored_calibration)
         on1 = jnp.float32(1.0 if self.calibrated else 0.0)
         T0 = jnp.asarray(self.extrinsics[0], jnp.float32)
         T1 = jnp.asarray(self.extrinsics[1] if self.calibrated else np.eye(4),

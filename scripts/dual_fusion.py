@@ -72,6 +72,12 @@ def main():
                          "jax.sharding.Mesh (needs >= 2 devices; on one "
                          "chip, pass --cpu with XLA_FLAGS=--xla_force_host_"
                          "platform_device_count=N to exercise it)")
+    ap.add_argument("--colored-calib", action="store_true",
+                    help="refine the auto-calibration extrinsic with "
+                         "COLORED ICP (photometric + point-to-plane; locks "
+                         "the in-plane DoF a textured flat wall leaves "
+                         "unconstrained — reference "
+                         "Works2CamerasCOLORVisualizer.py:189-279)")
     ap.add_argument("--rig-calib", default=None, metavar="DIR",
                     help="load the newest checkerboard rig calibration from "
                          "DIR (scripts/calibrate_rig.py output; serials are "
@@ -89,7 +95,8 @@ def main():
         registration=RegistrationConfig(ransac_hypotheses=2048),
     )
     pipe = DualCameraFusion((intr, intr), cfg, backend=args.backend,
-                            output_dir=args.output, sharded=args.sharded)
+                            output_dir=args.output, sharded=args.sharded,
+                            colored_calibration=args.colored_calib)
     if args.rig_calib:
         from azurekinect3dreconstruction_tpu.calib.extrinsics import RigCalibration
 
