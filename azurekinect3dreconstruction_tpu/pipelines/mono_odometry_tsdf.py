@@ -48,6 +48,7 @@ class MonoOdometryTSDF:
     def __init__(self, intrinsics: Intrinsics, config: Optional[PipelineConfig] = None,
                  backend: str = "auto", tracking: str = "frame_to_frame",
                  model_refine_interval: int = 5, model_points: int = 32768,
+                 model_sample_blocks: int = 256,
                  model_min_inliers: int = 3000, worklist_size: int = 2048,
                  streaming=None, relocalize: bool = False,
                  reloc_window: int = 3, reloc_interval: int = 8,
@@ -97,6 +98,7 @@ class MonoOdometryTSDF:
         self.tracking = tracking
         self.model_refine_interval = model_refine_interval
         self.model_points = model_points
+        self.model_sample_blocks = model_sample_blocks
         self.model_min_inliers = model_min_inliers
         self.worklist_size = worklist_size
         self.rays = pixel_rays(intrinsics)
@@ -120,7 +122,14 @@ class MonoOdometryTSDF:
         self._f2m_step = None  # lazily-built fused frame-to-model step
         self._f2m_ok_dev = []  # device refinement-gate flags (lazy counters)
         self._model_ovf_dev = []  # device refresh-overflow flags (ditto)
-        self._nb_prefetch = None  # async block count for the next refresh
+        # adaptive refresh stretching (sync-free): per-frame gate flags with
+        # host copies STARTED at step time land within ~2 frames; reading
+        # landed flags at refresh time costs no device sync. A streak of
+        # accepted refinements stretches the effective interval up to 2x
+        # (the model is evidently fresh enough); any rejection snaps back.
+        self._ok_pending = []  # (frame_index, device flag w/ async copy)
+        self._ok_streak = 0
+        self._next_refresh = model_refine_interval
         self.relocalize = relocalize
         self.reloc_window = reloc_window
         self.reloc_interval = reloc_interval
@@ -183,7 +192,9 @@ class MonoOdometryTSDF:
         self._model = None
         self._f2m_ok_dev = []
         self._model_ovf_dev = []
-        self._nb_prefetch = None
+        self._ok_pending = []
+        self._ok_streak = 0
+        self._next_refresh = self.model_refine_interval
         self.lost = False
         self._lost_dev = jnp.float32(0.0)
         self._lost_frames = 0
@@ -261,53 +272,51 @@ class MonoOdometryTSDF:
 
     def _maybe_refresh_model(self) -> None:
         """Refresh the device-resident model surface at
-        ``model_refine_interval`` cadence: budget-bounded marching-cubes
-        VERTICES (shared sampler — mc.extract_surface_samples_device),
-        restricted VIEW-LOCALLY first: only blocks within integration reach
-        of the current pose can project into a frame, so on maps larger
-        than the view a full-pool sample wastes most of the budget on
-        geometry the projective refinement can never use (observed live: a
-        room-scale scan overflowed the 4x emission every refresh, biasing
-        the model toward the oldest-scanned corner — the exact region the
-        camera had LEFT).
+        ``model_refine_interval`` cadence with the block-sampled extractor
+        (:func:`tsdf.marching_cubes.extract_sampled_surface_model`):
+        stride-pick ``model_sample_blocks`` blocks within integration reach
+        of the current pose, extract only their cells, stride triangles to
+        the point budget. Cost scales with the SAMPLE, not the pool (the r4
+        prefix form cost ~56 ms of stage-A scan at the 4096-block rung —
+        the whole reason f2m sat below the 30 fps bar), coverage is uniform
+        over the near scene instead of truncation-biased toward the oldest
+        corner, and the dispatch is fully sync-free with NO rung ladder and
+        no prefetched block count (the selection stride is a traced
+        scalar). The overflow flag (triangle budget overran even at stride
+        4) defers to the telemetry flush.
 
-        SYNC-FREE on the refresh frame: the extraction prefix comes from a
-        block count whose host copy was STARTED one frame earlier
-        (copy_to_host_async below — by refresh time the 4-byte value has
-        long landed, so int() does not block on the device queue), padded
-        by one frame's plausible allocation before snapping to the rung
-        ladder; the view-local selection rides the extraction's
-        ``emit_mask`` (device scalars only — no pool copy, no count sync);
-        the subsample strides device-side; the overflow flag defers to the
-        telemetry flush. A >pad single-frame allocation burst (only
-        possible in the one frame between prefetch and refresh) leaves
-        the newest blocks out of ONE refresh, corrected at the next."""
-        interval = self.model_refine_interval
-        if self.frame_index % interval == 0:
+        The CADENCE is adaptive and stays sync-free: refinement-gate flags
+        whose host copies were started at step time (>= 2 frames ago, so
+        they have landed — no device sync to read) feed an accept-streak
+        counter; ``model_refine_interval`` consecutive accepts stretch the
+        effective interval by one frame (up to 2x base — the model is
+        evidently fresh enough to keep refining against), and ANY rejection
+        snaps back to base (a rejecting gate means the model has drifted
+        from the view; refresh sooner, not later)."""
+        base = self.model_refine_interval
+        if self.frame_index >= self._next_refresh:
+            # drain landed gate flags (host copies started at step time,
+            # >= 2 frames old) into the streak — at REFRESH cadence only:
+            # a per-frame drain pins the host two dispatches behind the
+            # device and costs ~4 ms/frame of tunnel stalls (measured
+            # 28.4 vs 30.3 fps); once per refresh the stall hides under
+            # the refresh dispatch it replaces.
+            while (self._ok_pending
+                   and self._ok_pending[0][0] <= self.frame_index - 2):
+                _, flag = self._ok_pending.pop(0)
+                if bool(np.asarray(flag)):
+                    self._ok_streak += 1
+                else:
+                    self._ok_streak = 0
             with self.telemetry.time_block("model_refresh"):
-                if self._nb_prefetch is not None:
-                    nb = int(np.asarray(self._nb_prefetch)) + 1024
-                else:  # first refresh (frame 0): nothing to prefetch from
-                    nb = int(self.volume.n_blocks)
-                E = mc.snap_extract_blocks(nb, self.cfg.tsdf.block_capacity)
-                emit = _near_block_mask(
-                    self.volume.block_coords, self.volume.n_blocks,
-                    self._T_dev, self._model_reach(),
-                    self.cfg.tsdf.block_size)
-                pts, mask, ovf = mc.extract_surface_samples_device(
+                pts, mask, ovf = mc.extract_sampled_surface_model(
                     self.volume, self.cfg.tsdf, self.model_points,
-                    extract_blocks=E, emit_mask=emit)
+                    self._T_dev, self._model_reach(),
+                    sample_blocks=self.model_sample_blocks)
                 self._model = (pts, mask)
                 self._model_ovf_dev.append(ovf)
-            self._nb_prefetch = None
-        elif (self.frame_index + 1) % interval == 0:
-            # one frame ahead of the next refresh: start the block count's
-            # host copy so the refresh never blocks on the device queue.
-            # COPY the scalar first — the fused step donates its volume,
-            # so aliasing vol.n_blocks would hand the refresh a buffer the
-            # next dispatch deletes
-            self._nb_prefetch = self.volume.n_blocks.copy()
-            self._nb_prefetch.copy_to_host_async()
+            stretch = min(self._ok_streak // base, base)
+            self._next_refresh = self.frame_index + base + stretch
 
     def process_frame(self, depth_raw, color_raw):
         """Track + fuse one frame; returns the (device-resident) camera-to-
@@ -354,6 +363,12 @@ class MonoOdometryTSDF:
             self._fits_dev.append(fit)
             if self._model is not None:
                 self._f2m_ok_dev.append(ok)
+                # start the flag's host copy NOW; the adaptive refresh
+                # cadence reads it >= 2 frames later, after it has landed
+                # (zero sync). `ok` is a fresh step output — nothing
+                # donates it, so copying the handle directly is safe.
+                ok.copy_to_host_async()
+                self._ok_pending.append((self.frame_index, ok))
         else:
             # one dispatch: raw decode + odometry + fitness gate (jnp.where,
             # device-side identity fallback — reference :258-260) + allocate
@@ -552,24 +567,6 @@ class MonoOdometryTSDF:
 # ---------------------------------------------------------------------------
 # fully-fused device step: odometry + allocate + integrate in one dispatch
 # ---------------------------------------------------------------------------
-
-
-@jax.jit
-def _near_block_mask(block_coords, n_blocks, T_world_cam, reach, block_size):
-    """View-local block selection for the frame-to-model refresh: the
-    per-slot mask of alive blocks whose centers lie within ``reach`` of the
-    camera. Handed to the extraction's ``emit_mask`` (only masked blocks'
-    cells emit), which restricts the sample to the view WITHOUT copying the
-    pool the way a compaction would (a full-pool _compact held a second
-    ~GB-scale volume alive and OOMed the 16k-pool bench) and without any
-    count sync. Pool order — and so the sampler's coverage pattern — is
-    preserved by construction."""
-    cap = block_coords.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
-    alive = iota < n_blocks
-    centers = (block_coords.astype(jnp.float32) + 0.5) * jnp.float32(block_size)
-    d = jnp.linalg.norm(centers - T_world_cam[:3, 3], axis=1)
-    return alive & (d <= reach)
 
 
 def apply_odometry_gate(T_prev, res, min_fitness: float):

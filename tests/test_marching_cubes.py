@@ -177,6 +177,93 @@ def test_weld_vertices_preserves_geometry():
     assert (counts % 2 == 0).all()
 
 
+def _sphere_volume(n_mult=4, radius=0.22):
+    R = CFG.block_resolution
+    n = n_mult * R
+    g = (np.arange(n) + 0.5) * CFG.voxel_size
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    c = n * CFG.voxel_size / 2
+    field = (np.sqrt((X - c) ** 2 + (Y - c) ** 2 + (Z - c) ** 2)
+             - radius) / CFG.sdf_trunc
+    return build_volume_from_field(np.clip(field, -1, 1).astype(np.float32),
+                                   CFG)
+
+
+def test_block_sampled_model_matches_prefix_when_unthinned():
+    """extract_sampled_surface_model (the f2m refresh path) must be
+    BIT-IDENTICAL to the full-prefix device sampler when nothing thins:
+    every alive block within reach and <= sample_blocks, bricks within
+    budget, triangles within budget. The compact selection then IS the
+    alive prefix (sample_block_selection docstring)."""
+    vol = _sphere_volume()
+    E = mc.snap_extract_blocks(int(vol.n_blocks), CFG.block_capacity)
+    n_points = 3 * 65536  # far above the sphere's emission: no thinning
+    hp, hm, hovf = mc.extract_surface_samples_device(
+        vol, CFG, n_points, extract_blocks=E, max_cells=64 * 4096)
+    sp, sm, sovf = mc.extract_sampled_surface_model(
+        vol, CFG, n_points, jnp.eye(4, dtype=jnp.float32), reach=50.0,
+        sample_blocks=128, bricks_per_block=CFG.block_resolution ** 3 // 64)
+    np.testing.assert_array_equal(np.asarray(hm), np.asarray(sm))
+    np.testing.assert_array_equal(np.asarray(hp)[np.asarray(hm)],
+                                  np.asarray(sp)[np.asarray(sm)])
+    assert not bool(hovf) and not bool(sovf)
+
+
+def test_block_sampled_model_triangle_stride_is_uniform():
+    """When only the TRIANGLE budget binds, the sample must be every
+    stride-th triangle of the full emission in global order — uniform
+    thinning, not a pool-order prefix (the r4 refresh's failure mode)."""
+    vol = _sphere_volume()
+    E = mc.snap_extract_blocks(int(vol.n_blocks), CFG.block_capacity)
+    v, _c, nt, _o = mc.extract_mesh_arrays(
+        vol, CFG, max_cells=64 * 4096, max_tris=65536, extract_blocks=E)
+    nt = int(nt)
+    assert nt > 64
+    mtris = nt // 3  # forces stride 4 on the ceil ladder... exact: ceil
+    sp, sm, sovf = mc.extract_sampled_surface_model(
+        vol, CFG, 3 * mtris, jnp.eye(4, dtype=jnp.float32), reach=50.0,
+        sample_blocks=128, bricks_per_block=CFG.block_resolution ** 3 // 64)
+    s = -(-nt // mtris)  # stride the stage picks
+    want = np.asarray(v)[:, :, ::s][:, :, :mtris]  # (3, 3, <=mtris)
+    kept = np.asarray(sp)[np.asarray(sm)]
+    np.testing.assert_array_equal(
+        kept, want.transpose(2, 0, 1).reshape(-1, 3)[: len(kept)])
+    assert len(kept) == 3 * min(-(-nt // s), mtris)
+    assert not bool(sovf), "ceil-stride cannot overflow"
+
+
+def test_block_sampled_model_view_local_and_covers():
+    """A long slab: (a) tight budgets thin UNIFORMLY (the sample spans the
+    whole extent, not the oldest corner); (b) a small reach keeps only
+    nearby geometry."""
+    R = CFG.block_resolution
+    nx, nyz = 16 * R, 2 * R
+    g = lambda n: (np.arange(n) + 0.5) * CFG.voxel_size
+    X, Y, Z = np.meshgrid(g(nx), g(nyz), g(nyz), indexing="ij")
+    mid = nyz * CFG.voxel_size / 2
+    field = np.clip((Y - mid) / CFG.sdf_trunc, -1, 1).astype(np.float32)
+    vol = build_volume_from_field(field, CFG)
+    extent = nx * CFG.voxel_size  # 2.56 m of surface along x
+    T = jnp.eye(4, dtype=jnp.float32)
+
+    pts, mask, ovf = mc.extract_sampled_surface_model(
+        vol, CFG, 384, T, reach=50.0, sample_blocks=16, bricks_per_block=2,
+        supplier_rows=112)
+    kept = np.asarray(pts)[np.asarray(mask)]
+    assert len(kept) > 64
+    assert kept[:, 0].max() > 0.8 * extent, "sample biased to oldest blocks"
+    assert kept[:, 0].min() < 0.2 * extent
+    assert not bool(ovf)
+
+    pts2, mask2, _ = mc.extract_sampled_surface_model(
+        vol, CFG, 384, T, reach=0.6, sample_blocks=64)
+    kept2 = np.asarray(pts2)[np.asarray(mask2)]
+    assert len(kept2) > 0
+    reach_pad = 0.6 + CFG.block_resolution * CFG.voxel_size
+    assert (np.linalg.norm(kept2, axis=1) <= reach_pad).all(), \
+        "sampled surface leaked outside the view-local radius"
+
+
 def test_surface_sampler_device_matches_host():
     """The zero-sync device sampler (extract_surface_samples_device — the
     frame-to-model refresh path) must reproduce the host sampler bit-exactly

@@ -124,6 +124,57 @@ def test_dual_fusion_autocalibration(cam, tmp_path):
     assert "mesh" in paths
 
 
+def test_dual_fusion_colored_calibration_locks_textured_plane(tmp_path):
+    """BASELINE config 4's named combination: two-camera extrinsic
+    refinement with COLORED ICP. On a flat textured wall — exactly where
+    two-camera rigs get calibrated — point-to-plane leaves the two in-plane
+    translations + in-plane rotation unconstrained (every residual is zero
+    while the estimate slides along the wall), so a slid seed SURVIVES p2p
+    refinement; the photometric term locks it to the checker texture
+    (reference Works2CamerasCOLORVisualizer.py:189-279)."""
+    from azurekinect3dreconstruction_tpu.core.types import RGBDFrame
+    from azurekinect3dreconstruction_tpu.io.synthetic import (
+        Plane,
+        Scene,
+        SyntheticCamera,
+    )
+    from azurekinect3dreconstruction_tpu.pipelines import DualCameraFusion
+
+    wall = Scene(planes=(Plane((0.0, 0.0, 1.0), (0.0, 0.0, -1.0),
+                               (0.85, 0.7, 0.3), checker=0.08),))
+    c = SyntheticCamera(scene=wall,
+                        intrinsics=Intrinsics.azure_kinect_depth_nfov()
+                        .scaled(0.25))
+    T1 = np.eye(4)
+    T1[0, 3] = 0.10  # true rig baseline: pure in-plane offset
+    ccfg = SMALL_CFG.camera
+    frames = []
+    for T in (np.eye(4), T1):
+        d, col = c.capture(T)
+        frames.append(RGBDFrame.from_raw(d, col, ccfg.depth_scale,
+                                         ccfg.depth_trunc, ccfg.depth_min))
+    seed = T1.copy()
+    seed[0, 3] += 0.03  # slid 3 cm along the wall
+
+    def refine_err(colored):
+        pipe = DualCameraFusion((c.intrinsics, c.intrinsics), SMALL_CFG,
+                                backend="xla", output_dir=str(tmp_path))
+        pipe.extrinsics = [np.eye(4), seed.copy()]
+        pipe.calibrated = True
+        ok = pipe.calibrate(tuple(frames), refine_only=True, colored=colored)
+        err = np.asarray(se3.se3_log(
+            np.linalg.inv(T1) @ pipe.extrinsics[1]))
+        return ok, float(np.linalg.norm(err[:3]))
+
+    ok_c, err_c = refine_err(colored=True)
+    assert ok_c and err_c < 0.01, f"colored ICP did not lock: {err_c}"
+    ok_g, err_g = refine_err(colored=False)
+    # the geometric gate HAPPILY accepts the slid pose — that is the trap
+    assert err_g > 0.02, (
+        f"p2p unexpectedly locked the in-plane DoF ({err_g}) — "
+        "scene no longer degenerate; fix the fixture")
+
+
 def test_recorder_deferred_fallback_rebases_pose(cam, tmp_path):
     """A keyframe jump too large for colored ICP must be caught by the
     DEFERRED host check (one stacked fitness pull) and recovered through
@@ -469,21 +520,20 @@ def test_frame_to_model_integrates_refined_pose(cam):
 def test_frame_to_model_refresh_is_view_local(cam):
     """On a map larger than the camera's integration reach, the model
     refresh must sample only view-local blocks — a full-pool sample wastes
-    budget on geometry that can never project into the frame and, once the
-    4x emission overflows, biases toward the oldest-scanned region (the
-    place the camera LEFT). Two frames fused 8 m apart: the selection keeps
-    the near cluster, drops the far one, and the sampled surface stays
-    within reach."""
+    budget on geometry that can never project into the frame and biases
+    toward the oldest-scanned region once budgets bind (the place the
+    camera LEFT). Two frames fused 8 m apart, then the PIPELINE's own
+    refresh path (extract_sampled_surface_model at the pipeline's reach):
+    the sampled surface stays within reach of the pose."""
     import jax.numpy as jnp
 
     from azurekinect3dreconstruction_tpu.core.camera import pixel_rays
     from azurekinect3dreconstruction_tpu.core.types import RGBDFrame
     from azurekinect3dreconstruction_tpu.pipelines.mono_odometry_tsdf import (
-        _near_block_mask,
+        MonoOdometryTSDF,
     )
     from azurekinect3dreconstruction_tpu.tsdf import marching_cubes as mc
     from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf
-    from azurekinect3dreconstruction_tpu.tsdf.streaming import StreamingTSDF
 
     ccfg = SMALL_CFG.camera
     rays = pixel_rays(cam.intrinsics)
@@ -499,20 +549,17 @@ def test_frame_to_model_refresh_is_view_local(cam):
                                    cam.intrinsics, SMALL_CFG.tsdf,
                                    backend="xla")
     nb = int(vol.n_blocks)
-    reach = StreamingTSDF.integration_reach(SMALL_CFG) + 0.25
-    near = _near_block_mask(vol.block_coords, vol.n_blocks,
-                            jnp.eye(4, dtype=jnp.float32), reach,
-                            SMALL_CFG.tsdf.block_size)
-    n_near = int(np.asarray(near).sum())
-    assert 0 < n_near < nb, (n_near, nb)
-    E = mc.snap_extract_blocks(nb, SMALL_CFG.tsdf.block_capacity)
-    pts, mask, _ = mc.extract_surface_samples_device(
-        vol, SMALL_CFG.tsdf, 4096, extract_blocks=E, emit_mask=near)
+    pipe = MonoOdometryTSDF(cam.intrinsics, SMALL_CFG, backend="xla",
+                            tracking="frame_to_model", model_points=4096)
+    reach = pipe._model_reach()
+    pts, mask, _ = mc.extract_sampled_surface_model(
+        vol, SMALL_CFG.tsdf, 4096, jnp.eye(4, dtype=jnp.float32), reach,
+        sample_blocks=pipe.model_sample_blocks)
     p = np.asarray(pts)[np.asarray(mask)]
     assert len(p) > 100
     assert (np.linalg.norm(p, axis=1) <= reach + SMALL_CFG.tsdf.block_size
             ).all(), "sampled surface leaked outside the view-local radius"
-    # the original volume is untouched (_compact does not donate)
+    # the original volume is untouched (selection/extraction do not donate)
     assert int(vol.n_blocks) == nb
 
 

@@ -197,7 +197,7 @@ def main():
         print(f"{stop:12s} cum {ms:8.2f} ms   delta {ms - prev:8.2f} ms")
         prev = ms
 
-    pay, ct, tt, ov = mc._extract_stage1(vol, cfg, MCELLS, MTRIS, E)
+    pay, ct, tt, ov, ts_ = mc._extract_stage1(vol, cfg, MCELLS, MTRIS, E)
     jax.block_until_ready((pay, ct))
     ms = slope(lambda: mc._extract_gather(pay, ct))
     print(f"{'gather':12s} own-jit {ms:8.2f} ms")
