@@ -12,9 +12,13 @@ this extractor:
    ``extract_mesh_arrays`` (host-computed slot selection + neighbor map;
    device cost scales with the touched-block count, not the scene size) —
    untouched alive blocks still feed corner values via the selection, so
-   emitted VERTEX geometry is bit-identical to a full extraction of the
-   same blocks (colors ride the wire u8-quantized — the precision every
-   consumer, PLY writer and preview renderer alike, reduces to anyway),
+   with the default ``wire="exact"`` emitted VERTEX geometry is
+   bit-identical to a full extraction of the same blocks (colors ride the
+   wire u8-quantized — the precision every consumer, PLY writer and
+   preview renderer alike, reduces to anyway); ``wire="preview"`` trades a
+   stated tolerance (positions within voxel/510, flat RGB666 triangle
+   colors) for a 3x smaller pull on the weather-bound tunnel
+   (:func:`_pack_pull_preview`),
 3. keeps a host-side per-block triangle soup (ONE contiguous array + a
    block->span index) and patches it: alive slices of the previous soup
    plus the re-extracted groups, one large concatenate per update.
@@ -122,6 +126,41 @@ def _pack_pull(c, cells, fracs, edges, n_tris, overflow, ntb: int):
         [fi, xy[None], ze[None], rgb, meta[None]], axis=0)
 
 
+@partial(jax.jit, static_argnames=("ntb",))
+def _pack_pull_preview(c, cells, fracs, edges, n_tris, overflow, ntb: int):
+    """Tunnel-resilient PREVIEW wire: 3 i32 rows per triangle (12 B/tri —
+    3x smaller than the exact wire's 9 rows) + a 2-lane meta tail, one
+    transfer. The r4 numbers showed the pull rides link weather that varies
+    5-8x run to run (BENCH_r04 extract_incremental_ms 221.6 at 15.3 MB/s
+    d2h vs 123.4 at better weather), so preview bytes are the lever.
+    Lossy by design — the preview tolerance is stated, not hidden:
+
+    - vertex positions: edge fracs quantize to u8, so each coordinate is
+      within voxel_size/510 of the exact extraction (sub-0.01 mm at 5 mm
+      voxels — far below voxel resolution, invisible at preview scale);
+    - colors: ONE flat color per triangle (the mean of its 3 vertex
+      colors), RGB666-quantized — triangles are voxel-sized, so per-vertex
+      interpolation is sub-pixel at preview scale anyway.
+
+    Layout per triangle (row-major (3, ntb) then flattened, meta appended):
+    - row 0: frac0_u8 | frac1_u8 << 8 | frac2_u8 << 16 | edges[0:8] << 24
+    - row 1: edges[8:12] | (cellx + 8192) << 4 | (celly + 8192) << 18
+    - row 2: (cellz + 8192) | r6 << 14 | g6 << 20 | b6 << 26
+    - tail:  [n_tris, overflow]
+    (cell coords fit 14 bits: hash.pack_key bounds block coords to
+    [-512, 512), i.e. cells in [-8192, 8192) at R=16.)"""
+    fq = jnp.round(jnp.clip(fracs[:, :ntb], 0.0, 1.0) * 255.0).astype(jnp.int32)
+    e = edges[:ntb]
+    cl = cells[:, :ntb].astype(jnp.int32) + 8192
+    cmean = jnp.mean(jnp.clip(c[..., :ntb], 0.0, 1.0), axis=0)  # (3, ntb)
+    c6 = jnp.round(cmean * 63.0).astype(jnp.int32)
+    r0 = fq[0] | (fq[1] << 8) | (fq[2] << 16) | ((e & 0xFF) << 24)
+    r1 = ((e >> 8) & 0xF) | (cl[0] << 4) | (cl[1] << 18)
+    r2 = cl[2] | (c6[0] << 14) | (c6[1] << 20) | (c6[2] << 26)
+    meta = jnp.stack([n_tris.astype(jnp.int32), overflow.astype(jnp.int32)])
+    return jnp.concatenate([jnp.stack([r0, r1, r2]).reshape(-1), meta])
+
+
 _EDGE_A = np.asarray(mt.EDGE_ENDPOINTS[:, 0])  # (12,) corner ids
 _EDGE_B = np.asarray(mt.EDGE_ENDPOINTS[:, 1])
 
@@ -157,6 +196,41 @@ def _unpack_verts(packed: np.ndarray, nt: int, voxel_size: float):
     return verts.transpose(1, 0, 2), cells
 
 
+def _unpack_preview(packed: np.ndarray, ntb: int, voxel_size: float):
+    """Decode :func:`_pack_pull_preview`: (nt, 3, 3) f32 vertices (within
+    voxel_size/510 per coordinate of the exact extraction), (nt, 3) cell
+    coords, (nt, 3, 3) per-vertex colors (the triangle's flat RGB666 color
+    replicated)."""
+    nt = int(packed[-2])
+    u = packed[: 3 * ntb].reshape(3, ntb)[:, :nt].astype(np.int64) & 0xFFFFFFFF
+    r0, r1, r2 = u
+    frac = np.stack([r0 & 0xFF, (r0 >> 8) & 0xFF, (r0 >> 16) & 0xFF]
+                    ).astype(np.float32) * np.float32(1.0 / 255.0)
+    edges = ((r0 >> 24) & 0xFF) | ((r1 & 0xF) << 8)
+    cx = ((r1 >> 4) & 0x3FFF) - 8192
+    cy = ((r1 >> 18) & 0x3FFF) - 8192
+    cz = (r2 & 0x3FFF) - 8192
+    cellf = np.stack([cx, cy, cz]).astype(np.float32)
+    cells = np.stack([cx, cy, cz], axis=1)
+    vs = np.float32(voxel_size)
+    half = np.float32(0.5)
+    verts = np.empty((3, nt, 3), np.float32)
+    for v in range(3):
+        ev = (edges >> (4 * v)) & 0xF
+        ca = _EDGE_A[ev]
+        cb = _EDGE_B[ev]
+        f = frac[v]
+        for ax in range(3):
+            a = ((ca >> ax) & 1).astype(np.float32)
+            d = (((cb >> ax) & 1) - ((ca >> ax) & 1)).astype(np.float32)
+            verts[v, :, ax] = ((cellf[ax] + half + a) + f * d) * vs
+    tri_rgb = (np.stack([(r2 >> 14) & 0x3F, (r2 >> 20) & 0x3F,
+                         (r2 >> 26) & 0x3F], axis=1)
+               .astype(np.float32) / 63.0)  # (nt, 3)
+    vcols = np.repeat(tri_rgb[:, None, :], 3, axis=1)
+    return verts.transpose(1, 0, 2), cells, vcols
+
+
 def _slice_bucket(n: int, cap: int) -> int:
     """Triangle-count bucket for the device-side pre-transfer slice: one
     compile per bucket, not per distinct count (a fresh count per update
@@ -173,7 +247,15 @@ def _sel_bucket(n: int, cap: int) -> int:
 
 class IncrementalExtractor:
     def __init__(self, cfg: TSDFConfig, max_cells: int = 1 << 20,
-                 max_tris: int = 1 << 18):
+                 max_tris: int = 1 << 18, wire: str = "exact"):
+        """``wire``: geometry pull encoding. "exact" (default) keeps vertex
+        positions bit-identical to a full extraction (9 i32 rows/triangle —
+        the contract save-path consumers rely on); "preview" is the live
+        viewer's wire — 3 rows/triangle (3x fewer bytes on a link whose
+        bandwidth varies 5-8x run to run), positions within voxel/510 per
+        coordinate, flat RGB666 triangle colors (see _pack_pull_preview)."""
+        assert wire in ("exact", "preview"), wire
+        self.wire = wire
         self.cfg = cfg
         self.max_cells = max_cells  # full-pass budgets
         self.max_tris = max_tris
@@ -197,6 +279,7 @@ class IncrementalExtractor:
         self._ak_sorted: Optional[np.ndarray] = None
         self._ak_coords: Optional[np.ndarray] = None  # coords it indexes
         self._last_nt = 0  # previous update's triangle count (pull bucket seed)
+        self.last_pull_bytes = 0  # geometry-pull size of the last update
         self.last_touched = 0  # blocks re-extracted on the last update
         self.last_mode = "none"  # "compact" | "full" | "none" (observability)
         # per-stage wall times of the last update (seconds): checksum pull,
@@ -320,6 +403,8 @@ class IncrementalExtractor:
             tms["select"] = time.perf_counter() - t0
 
             t0 = time.perf_counter()
+            preview = self.wire == "preview"
+            pack_fn = _pack_pull_preview if preview else _pack_pull
             while True:
                 cc, ct = getattr(self, budgets[0]), getattr(self, budgets[1])
                 _v, c_, n_tris, ovf, cells, fracs, edges = (
@@ -332,9 +417,10 @@ class IncrementalExtractor:
                 # guessed low (one extra pull, rare).
                 ntb = _slice_bucket(max(self._last_nt, 4096), ct)
                 packed = np.asarray(
-                    _pack_pull(c_, cells, fracs, edges, n_tris, ovf, ntb))
-                nt = int(packed[8, 0])
-                if packed[8, 1]:  # overflow: grow persistently and redo
+                    pack_fn(c_, cells, fracs, edges, n_tris, ovf, ntb))
+                nt = int(packed[-2]) if preview else int(packed[8, 0])
+                ovf_h = packed[-1] if preview else packed[8, 1]
+                if ovf_h:  # overflow: grow persistently and redo
                     # x2, not x4: stage C/D cost scales with the PADDED
                     # budgets (the D_map scatter pays ~4.3 ns per budgeted
                     # cell, active or not) and this is the PER-FRAME live
@@ -347,17 +433,23 @@ class IncrementalExtractor:
                 if nt > ntb:
                     ntb = _slice_bucket(nt, ct)
                     packed = np.asarray(
-                        _pack_pull(c_, cells, fracs, edges, n_tris, ovf, ntb))
+                        pack_fn(c_, cells, fracs, edges, n_tris, ovf, ntb))
                 break
+            self.last_pull_bytes = packed.nbytes
             tms["extract_pull"] = time.perf_counter() - t0
             t0 = time.perf_counter()
             self._last_nt = nt
-            verts, cellnp = _unpack_verts(packed, nt,
-                                          self.cfg.voxel_size)
-            rgb = packed[5:8]
-            vcols = (np.stack([(rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255],
-                              axis=1).transpose(2, 0, 1)[:nt]
-                     .astype(np.float32) / 255.0)
+            if preview:
+                verts, cellnp, vcols = _unpack_preview(packed, ntb,
+                                                       self.cfg.voxel_size)
+            else:
+                verts, cellnp = _unpack_verts(packed, nt,
+                                              self.cfg.voxel_size)
+                rgb = packed[5:8]
+                vcols = (np.stack([(rgb >> 16) & 255, (rgb >> 8) & 255,
+                                   rgb & 255],
+                                  axis=1).transpose(2, 0, 1)[:nt]
+                         .astype(np.float32) / 255.0)
             blk = cellnp.astype(np.int64) // self.cfg.block_resolution
 
             # group the pull by source block, then patch the soup: every

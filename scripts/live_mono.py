@@ -132,7 +132,10 @@ def main():
         IncrementalExtractor,
     )
 
-    inc = IncrementalExtractor(cfg.tsdf)
+    # preview wire: 3x fewer pull bytes at a stated (sub-voxel/500)
+    # tolerance — the live view rides tunnel weather, the SAVE path below
+    # extracts exactly
+    inc = IncrementalExtractor(cfg.tsdf, wire="preview")
 
     # double-buffered host->device streaming: frame k+1 uploads while the
     # SLAM step computes on frame k (io/streams.DeviceFeeder)

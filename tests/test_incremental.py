@@ -71,6 +71,43 @@ def test_incremental_matches_full_extraction(synthetic_camera):
     assert inc.update(vol) is prev and inc.last_mode == "none"
 
 
+def test_incremental_preview_wire_tolerance(synthetic_camera):
+    """The quantized preview wire (wire="preview", 3 i32 rows/triangle vs
+    the exact wire's 9) must reproduce the exact extraction within its
+    STATED tolerance: every vertex coordinate within voxel_size/500 (u8
+    edge fracs), every triangle's flat color within 1/126 + the triangle's
+    own vertex-color spread (RGB666 of the vertex mean), triangle count
+    identical, pull bytes >= 2x smaller."""
+    intr = synthetic_camera.intrinsics
+    rays = pixel_rays(intr)
+    poses = orbit_trajectory(3, radius=0.3, angle_span=1.0)
+    exact = IncrementalExtractor(CFG, max_cells=262144, max_tris=131072)
+    prev = IncrementalExtractor(CFG, max_cells=262144, max_tris=131072,
+                                wire="preview")
+    vol = tsdf.create(CFG)
+    for T in poses:
+        z, c = synthetic_camera.render(np.asarray(T, np.float32))
+        vol = tsdf.integrate_frame(vol, jnp.asarray(z), jnp.asarray(c), rays,
+                                   jnp.asarray(T, jnp.float32), intr, CFG,
+                                   backend="xla")
+        me = exact.update(vol)
+        mp = prev.update(vol)
+        nt = me.triangles.shape[0]
+        assert mp.triangles.shape[0] == nt
+        ve = me.vertices.reshape(nt, 3, 3)
+        vp = mp.vertices.reshape(nt, 3, 3)
+        # both wires emit/patch in the same order (same update sequence,
+        # same device worklist): compare triangle-for-triangle
+        np.testing.assert_allclose(vp, ve,
+                                   atol=CFG.voxel_size / 500.0, rtol=0)
+        ce = me.vertex_colors.reshape(nt, 3, 3)
+        cp = mp.vertex_colors.reshape(nt, 3, 3)
+        spread = np.abs(ce - ce.mean(1, keepdims=True)).max()
+        assert np.abs(cp - ce).max() <= spread + 1.0 / 126.0 + 1e-6
+        assert prev.last_pull_bytes * 2 <= exact.last_pull_bytes, (
+            prev.last_pull_bytes, exact.last_pull_bytes)
+
+
 def test_incremental_handles_reset(synthetic_camera):
     intr = synthetic_camera.intrinsics
     rays = pixel_rays(intr)
