@@ -45,6 +45,15 @@ def _enable_compilation_cache() -> None:
                  else _os.path.expanduser("~/.cache/azurekinect3d_jax"))
         _os.makedirs(cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", cache)
+        # Persist SMALL compiles too. jax's default refuses to cache
+        # anything that compiled in under 1 s — but on a tunneled TPU every
+        # compile pays a ~0.4 s fixed round trip, so a warmup ladder of
+        # ~250 small executables (relocalizer rungs, bucket ladder) costs
+        # ~2 min of compiles that all individually duck the threshold and
+        # are never written (measured: 204 cache misses, 0 hits, 202
+        # "Not writing ... < 1.00 seconds" on a second process's warmup).
+        # 0.0 persists everything; disk cost is a few hundred ~100 KB files.
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass  # caching is an optimization; never block import on it
 
