@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +54,7 @@ class OfflineBundle:
         self.loop_check_interval = loop_check_interval
         self.checkpoint_interval = checkpoint_interval
         self._known_loops = set()
+        self.last_finalize_stats: dict = {}
         self.telemetry = Telemetry()
         self.saver = ResultSaver(output_dir)
 
@@ -133,6 +135,17 @@ class OfflineBundle:
 
     # -- finalize: optimize + reintegrate (reference :285-344) ---------------
     def finalize(self, extract: bool = True):
+        """Optimize the pose graph, reset the volume and reintegrate every
+        logged frame at its optimized pose (the reference's finalize,
+        bundlefusion_reconstruction.py:285-344). Wall time of each stage is
+        recorded in ``self.last_finalize_stats`` (loops_s / optimize_s /
+        reintegrate_s / extract_s, plus n_frames) — finalize is the
+        longest user-visible wait in the offline flow, so its cost is a
+        tracked bench metric (offline_reintegrate_fps)."""
+        import time as _time
+
+        stats = {"n_frames": len(self.graph.nodes)}
+        _t0 = _time.perf_counter()
         log_info("finalizing: global optimization + reintegration")
         # one last loop sweep before the global solve: the cadence check
         # never sees the final frames, and a scan usually ENDS where it
@@ -141,10 +154,14 @@ class OfflineBundle:
         # re-optimizes edges found mid-run, bundlefusion_reconstruction.py:285-305)
         if len(self.graph.nodes) > self.loop_min_gap:
             self._detect_loops()
+        stats["loops_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         self.graph.save(os.path.join(self.output_dir, "pose_graph.json"))
         self.graph = pg.optimize(self.graph, max_iterations=50,
                                  edge_prune_threshold=0.25,
                                  preference_loop_closure=2.0)
+        stats["optimize_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         volume = tsdf.create(self.cfg.tsdf)  # volume.reset() analog
         src = NpzReplaySource(self.frames_dir)
         cam = self.cfg.camera
@@ -158,7 +175,11 @@ class OfflineBundle:
                 jnp.asarray(self.graph.nodes[i], jnp.float32), self.intr,
                 self.cfg.tsdf, backend=self.backend,
             )
+        jax.block_until_ready(volume.tsdf)
+        stats["reintegrate_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         self.volume = volume
+        self.last_finalize_stats = stats
         if not extract:
             return None
         mesh = mc.extract_mesh(volume, self.cfg.tsdf).compact()
@@ -166,6 +187,7 @@ class OfflineBundle:
         mesh.compute_vertex_normals()
         self.saver.save_mesh(mesh, kind="optimized_mesh")
         self.saver.save_trajectory(self.graph.nodes, kind="optimized_trajectory")
+        stats["extract_s"] = _time.perf_counter() - _t0
         return mesh
 
     # -- resume from the frame log (checkpoint/resume) ------------------------

@@ -349,7 +349,7 @@ def main():
     for i in range(2):
         vol = batch(vol, cdep[i: i + 1], ccol[i: i + 1], cpos[i: i + 1], rays)
         inc.update(vol)
-    inc_times, inc_touched = [], []
+    inc_times, inc_touched, inc_bytes = [], [], []
     for i in range(2, 7):
         vol = batch(vol, cdep[i: i + 1], ccol[i: i + 1], cpos[i: i + 1], rays)
         jax.block_until_ready(vol.tsdf)
@@ -357,7 +357,30 @@ def main():
         inc.update(vol)
         inc_times.append(time.perf_counter() - t0)
         inc_touched.append(inc.last_touched)
+        inc_bytes.append(inc.last_pull_bytes)
     extract_inc_ms = float(np.median(inc_times) * 1000.0)
+
+    # preview wire (VERDICT r4 next #7): same close-up updates through the
+    # u8-quantized 3-row pull (12 B/tri vs 36) — the live viewer's wire,
+    # sized for a tunnel whose d2h bandwidth varies 5-8x run to run. Same
+    # dwell workload (close-ups 7..12 continue the sequence), fresh
+    # extractor so its full-pass + compact buckets compile outside the
+    # timed window.
+    cdep2, ccol2, cpos2 = render_all([closeup_pose(i) for i in range(7, 13)])
+    incp = IncrementalExtractor(cfg, max_cells=mcells, max_tris=mtris,
+                                wire="preview")
+    incp.update(vol)  # cold full pass (builds cache, compiles)
+    inc_pv_times, inc_pv_bytes = [], []
+    for i in range(6):
+        vol = batch(vol, cdep2[i: i + 1], ccol2[i: i + 1], cpos2[i: i + 1],
+                    rays)
+        jax.block_until_ready(vol.tsdf)
+        t0 = time.perf_counter()
+        incp.update(vol)
+        if i >= 2:  # first two compact updates compile their buckets
+            inc_pv_times.append(time.perf_counter() - t0)
+            inc_pv_bytes.append(incp.last_pull_bytes)
+    extract_inc_preview_ms = float(np.median(inc_pv_times) * 1000.0)
     # honest comparator: what a HOST-side surface refresh costs without the
     # incremental path — full re-extraction + the whole soup pulled through
     # the tunnel (extract_ms above is device-dispatch only). The close-up
@@ -434,6 +457,48 @@ def main():
     # sharded=True needs >= 2 devices (camera-per-mesh-row); this host has
     # one chip, so the sharded pair rate is untestable here — the shard_map
     # overhead story is covered by sharded_slam_fps on the (1,1) mesh.
+
+    # moving-rig pair sweep (VERDICT r4 weak #7): the static pair above
+    # saturates after the first integration, so it measures decode +
+    # integrate on a full volume. Walk the SAME rig along the mono sweep's
+    # orbit so blocks allocate throughout (the reference's scene streams
+    # past its fixed rig — allocation pressure is the same either way);
+    # the static number stays as the saturated comparator. Extrinsic
+    # updates are host-side float copies (a handheld rig's per-frame pose
+    # feed), not dispatches.
+    n_mpairs = 24
+    mv_pairs = []
+    for k in range(n_mpairs):
+        Tk0 = np.asarray(sweep[k], np.float64)
+        Tk1 = Tk0 @ rig
+        dk0, ck0 = cam.render(Tk0.astype(np.float32))
+        dk1, ck1 = cam.render(Tk1.astype(np.float32))
+        mv_pairs.append(((raw(dk0, ck0), raw(dk1, ck1)), Tk0, Tk1))
+    jax.block_until_ready([a_ for p, _t0, _t1 in mv_pairs for f in p
+                           for a_ in f])
+
+    def moving_run(growth_check=False):
+        dmv = DualCameraFusion((intr, intr), pcfg,
+                               output_dir="/tmp/bench_dual")
+        dmv.telemetry.sink = lambda s: None
+        dmv.calibrated = True
+        nb_half = 0
+        t0 = time.perf_counter()
+        for j, (pair_k, T0k, T1k) in enumerate(mv_pairs):
+            dmv.extrinsics = [T0k, T1k]
+            dmv.process_frames(pair_k)
+            if growth_check and j == n_mpairs // 2:
+                nb_half = int(dmv.volume.n_blocks)  # sync: warm pass only
+        jax.block_until_ready(dmv.volume.tsdf)
+        dt = time.perf_counter() - t0
+        if growth_check:
+            assert 0 < nb_half < int(dmv.volume.n_blocks), \
+                "moving rig must allocate fresh blocks throughout"
+        return dmv, dt
+
+    moving_run(growth_check=True)  # warm + verify continuous allocation
+    dmv, mv_dt = moving_run()
+    dual_pair_fps_moving = n_mpairs / mv_dt
 
     _mark("recorder")
     # ---- colored-ICP Recorder (VERDICT r3 weak #2) ---------------------------
@@ -542,6 +607,13 @@ def main():
     streaming_fps = n_s / s_dt
     streaming_evictions = int(sp.streaming.n_evictions)
     streaming_overflow = bool(np.asarray(sp.volume.overflow))
+    # itemized tick cost (VERDICT r4 weak #2): cumulative per-stage wall ms
+    # the manager recorded across the run, per tick — the breakdown that
+    # says where the eviction machinery's overhead actually goes
+    n_ticks = max(sp.streaming.n_ticks, 1)
+    streaming_tick_ms = {k: round(v / n_ticks, 2)
+                         for k, v in sorted(sp.streaming.tick_ms.items(),
+                                            key=lambda kv: -kv[1])}
     # plain comparator: the same corridor into a pool big enough to hold it
     # all (the scan allocates ~2.1k blocks) — what the identical scan costs
     # WITHOUT the eviction machinery
@@ -590,14 +662,124 @@ def main():
     for d, c in dev_frames:
         pipe_m.process_frame(d, c)
     jax.block_until_ready((pipe_m.volume.tsdf, pipe_m._T_dev))
-    pipe_m.reset()
-    t0 = time.perf_counter()
-    for d, c in dev_frames:
-        pipe_m.process_frame(d, c)
-    jax.block_until_ready((pipe_m.volume.tsdf, pipe_m._T_dev))
-    f2m_fps = len(dev_frames) / (time.perf_counter() - t0)
+    # best-of-2 identical passes, like every other section's min-of-N: the
+    # tunnel's RTT wanders +-25% between passes (measured 24.5 -> 30.6 ms
+    # within one minute) and each pass is deterministic repeated work
+    f2m_times = []
+    for _ in range(2):
+        pipe_m.reset()
+        t0 = time.perf_counter()
+        for d, c in dev_frames:
+            pipe_m.process_frame(d, c)
+        jax.block_until_ready((pipe_m.volume.tsdf, pipe_m._T_dev))
+        f2m_times.append(time.perf_counter() - t0)
+    f2m_fps = len(dev_frames) / min(f2m_times)
     _ = pipe_m.trajectory  # flush the gate flags into the counters
     f2m_refines_ok = int(pipe_m.telemetry._counters.get("model_icp_ok", 0))
+
+    _mark("offline bundle finalize")
+    # ---- offline bundle: optimize + reintegrate (VERDICT r4 weak #8) --------
+    # the reference's checkpoint/resume showpiece
+    # (bundlefusion_reconstruction.py:285-344): after the tracking pass,
+    # finalize resets the volume and reintegrates EVERY logged frame at its
+    # optimized pose — the longest user-visible wait in the offline flow.
+    # reintegrate fps is the metric; optimize time rides along.
+    import shutil
+    import tempfile
+
+    from azurekinect3dreconstruction_tpu.pipelines.offline_bundle import (
+        OfflineBundle,
+    )
+
+    ob_dir = tempfile.mkdtemp(prefix="bench_ob_")
+    try:
+        ob = OfflineBundle(intr, pcfg, output_dir=ob_dir,
+                           checkpoint_interval=0)
+        ob.telemetry.sink = lambda s: None
+        for d, c in host_frames:
+            ob.process_frame(d, c)
+        # warm the reintegration executable (unfused integrate_frame at this
+        # shape) outside the timed finalize — compile is setup, not finalize
+        from azurekinect3dreconstruction_tpu.core.types import RGBDFrame
+
+        wf = RGBDFrame.from_raw(*host_frames[0], pcfg.camera.depth_scale,
+                                pcfg.camera.depth_trunc, pcfg.camera.depth_min)
+        jax.block_until_ready(tsdf.integrate_frame(
+            tsdf.create(cfg), wf.depth, wf.color, rays,
+            jnp.eye(4, dtype=jnp.float32), intr, cfg).tsdf)
+        ob.finalize(extract=False)
+        fstats = ob.last_finalize_stats
+        offline_reintegrate_fps = (fstats["n_frames"]
+                                   / max(fstats["reintegrate_s"], 1e-9))
+        offline_optimize_s = fstats["optimize_s"]
+        offline_finalize_s = (fstats["loops_s"] + fstats["optimize_s"]
+                              + fstats["reintegrate_s"])
+    finally:
+        shutil.rmtree(ob_dir, ignore_errors=True)
+
+    _mark("cloud accumulator")
+    # ---- CloudAccumulator keyframe rate (VERDICT r4 weak #8) ----------------
+    # the reference's point-cloud-only flow (Reconstruction.py): per-keyframe
+    # projective ICP against the previous frame's maps + model append.
+    # keyframe_interval=1 makes every frame a keyframe, so this is the
+    # keyframe registration rate itself (interval frames cost ~nothing).
+    import dataclasses as _dc2
+
+    from azurekinect3dreconstruction_tpu.pipelines.cloud_accumulator import (
+        CloudAccumulator,
+    )
+
+    ca_cfg = _dc2.replace(pcfg, keyframe_interval=1)
+    ca = CloudAccumulator(intr, ca_cfg, output_dir="/tmp/bench_ca")
+    ca.telemetry.sink = lambda s: None
+    for d, c in host_frames[:2]:  # compile the keyframe path
+        ca.process_frame(d, c)
+    ca2 = CloudAccumulator(intr, ca_cfg, output_dir="/tmp/bench_ca")
+    ca2.telemetry.sink = lambda s: None
+    n_kf = 8
+    t0 = time.perf_counter()
+    for d, c in host_frames[:n_kf]:
+        ca2.process_frame(d, c)
+    cloud_accumulator_kf_fps = n_kf / (time.perf_counter() - t0)
+
+    _mark("cached warmup (subprocess)")
+    # ---- persistent-compilation-cache proof (VERDICT r4 weak #3) ------------
+    # reloc_warmup_s above ran in THIS process (whatever cache state the
+    # machine had). The number users feel is the SECOND process's warmup:
+    # with jax_persistent_cache_min_compile_time_secs=0 every rung the
+    # in-process warmup just compiled is on disk, so a fresh process should
+    # pay deserialization + dispatch, not compilation. -1 = subprocess
+    # failed (the JSON stays strict-parseable).
+    import subprocess
+
+    # the subprocess warms against warmup()'s scratch volume, whose
+    # extraction-prefix rung differs from the bench scene's — run the
+    # scratch-volume warmup here once (untimed) so its rung is in the
+    # cache too and the subprocess measures pure cache-hit startup
+    reloc.warmup()
+    reloc_warmup_cached_s = -1.0
+    try:
+        sub = subprocess.run(
+            [sys.executable, "-c", (
+                "import time, json\n"
+                "t_imp = time.perf_counter()\n"
+                "from azurekinect3dreconstruction_tpu.config import PipelineConfig, TSDFConfig\n"
+                "from azurekinect3dreconstruction_tpu.core.camera import Intrinsics\n"
+                "from azurekinect3dreconstruction_tpu.tracking.relocalize import Relocalizer\n"
+                "cfg = TSDFConfig(voxel_size=0.005, sdf_trunc=0.02,"
+                " block_resolution=16, block_capacity=16384,"
+                " hash_capacity=65536)\n"
+                "r = Relocalizer(Intrinsics.azure_kinect_depth_nfov(),"
+                " PipelineConfig(tsdf=cfg))\n"
+                "w = r.warmup()\n"
+                "print(json.dumps({'import_s': time.perf_counter()-t_imp-w,"
+                " 'warmup_s': w}))\n")],
+            capture_output=True, text=True, timeout=900)
+        reloc_warmup_cached_s = float(
+            json.loads(sub.stdout.strip().splitlines()[-1])["warmup_s"])
+    except Exception as e:  # noqa: BLE001 — bench must still print its JSON
+        print(f"[bench] cached-warmup subprocess failed: {e}",
+              file=sys.stderr)
 
     _mark("done")
     print(json.dumps({
@@ -623,6 +805,7 @@ def main():
         "pipeline_fps_resident": round(pipeline_fps_resident, 2),
         "dual_fusion_pair_fps": round(dual_pair_fps, 2),
         "dual_fusion_fps_per_camera": round(dual_pair_fps, 2),
+        "dual_fusion_pair_fps_moving": round(dual_pair_fps_moving, 2),
         "recorder_fps": round(recorder_fps, 2),
         "recorder_keyframe_ms": round(recorder_kf_ms, 2),
         "recorder_interval_ms": round(recorder_int_ms, 2),
@@ -631,15 +814,24 @@ def main():
         "streaming_overflow": streaming_overflow,
         "corridor_plain_fps": round(corridor_plain_fps, 2),
         "streaming_vs_plain": round(streaming_fps / corridor_plain_fps, 3),
+        "streaming_tick_ms": streaming_tick_ms,
         "reloc_warmup_s": round(reloc_warmup_s, 2),
+        "reloc_warmup_cached_s": round(reloc_warmup_cached_s, 2),
         "reloc_recovery_ms": round(reloc_recovery_ms, 1),
         "reloc_err_mm": round(reloc_err_mm, 2),
         "f2m_fps": round(f2m_fps, 2),
         "f2m_refines_ok": f2m_refines_ok,
+        "offline_reintegrate_fps": round(offline_reintegrate_fps, 2),
+        "offline_optimize_s": round(offline_optimize_s, 2),
+        "offline_finalize_s": round(offline_finalize_s, 2),
+        "cloud_accumulator_kf_fps": round(cloud_accumulator_kf_fps, 2),
         "h2d_mbps": round(h2d_mbps, 1),
         "d2h_mbps": round(d2h_mbps, 1),
         "extract_ms": round(extract_ms, 2),
         "extract_incremental_ms": round(extract_inc_ms, 2),
+        "extract_incremental_preview_ms": round(extract_inc_preview_ms, 2),
+        "incremental_pull_bytes_exact": int(np.median(inc_bytes)),
+        "incremental_pull_bytes_preview": int(np.median(inc_pv_bytes)),
         "extract_full_refresh_ms": round(extract_full_refresh_ms, 2),
         "incremental_touched_blocks": int(np.median(inc_touched)),
         "evict_compact_ms": round(evict_compact_ms, 2),
