@@ -156,8 +156,15 @@ def _put_mem(kind: str, *arrays):
 
 
 @jax.jit
-def _state_pull(vol: TSDFVolume):
-    """(n_blocks, block_coords, per-block change checksum) in ONE pull.
+def _state_pull(vol: TSDFVolume, T):
+    """The tick's whole input — n_blocks, camera pose, per-block change
+    checksum, block_coords — as ONE flat i32 array, so the host lands it
+    in ONE transfer. The r4 form returned three arrays and the tick's
+    ``np.asarray`` of each paid its own tunnel round trip (~25 ms fixed,
+    measured 52 ms/tick in the r5 stage breakdown for ~16 KB of payload
+    — pure RTT, not bytes). Layout: [n_blocks, pose f32 bits (16), cks
+    (cap), coords (cap*3)]; decode with :func:`_decode_state`.
+
     The checksum wrap-sums the raw tsdf+weight BITS (any bit change =
     change, reduction-order-independent — the same trick as
     incremental._checksums and for the same reason); it detects frozen
@@ -165,7 +172,38 @@ def _state_pull(vol: TSDFVolume):
     windows), whose cached soups would otherwise go silently stale."""
     bits = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
     cks = jnp.sum(bits(vol.tsdf) + bits(vol.weight), axis=(1, 2))
-    return vol.n_blocks, vol.block_coords, cks
+    return jnp.concatenate([
+        vol.n_blocks.reshape(1),
+        bits(jnp.asarray(T, jnp.float32)).reshape(16),
+        cks,
+        vol.block_coords.reshape(-1),
+    ])
+
+
+def _decode_state(buf: np.ndarray, cap: int):
+    """Host decode of :func:`_state_pull`'s packed layout -> (n, pose,
+    cks, coords)."""
+    nb = int(buf[0])
+    pose = buf[1:17].view(np.float32).reshape(4, 4)
+    cks = buf[17:17 + cap]
+    coords = buf[17 + cap:].reshape(cap, 3)
+    return nb, pose, cks, coords
+
+
+@partial(jax.jit, static_argnames=("ntb",))
+def _freeze_meta(cells, n_tris, overflow, R, ntb: int):
+    """Everything the freeze path needs HOST-side about an extraction, as
+    one flat i32 array: [n_tris, overflow, per-triangle BLOCK key x ntb].
+    The r4 path paid three separate syncs per eviction (the grow-loop's
+    overflow bool, int(n_tris), then a (3, ntb) cell-coordinate pull ≈
+    12 B/triangle) — measured 255 ms per eviction, mostly round trips.
+    The soup split only ever consumed cells // R packed to keys, so the
+    key math moves device-side and the pull is 4 B/triangle in the same
+    transfer as the scalars."""
+    blk = jnp.floor_divide(cells[:, :ntb].T.astype(jnp.int32), R)
+    keys = vhash.pack_key(blk)
+    meta = jnp.stack([n_tris.astype(jnp.int32), overflow.astype(jnp.int32)])
+    return jnp.concatenate([meta, keys])
 
 
 @jax.jit
@@ -305,6 +343,7 @@ class StreamingTSDF:
         # their stored +corner suppliers resident)
         self._live_cks: Dict[int, int] = {}
         self._since_check = 0
+        self._freeze_nt = 0  # last freeze's triangle count (pull-slice seed)
         self.n_evictions = 0
         self.n_reloads = 0
         self.n_stale_refreshes = 0
@@ -400,25 +439,29 @@ class StreamingTSDF:
         self._since_check += 1
         if self._since_check == 1 and self.check_interval > 1:
             t0 = time.perf_counter()
-            st = _state_pull(self.vol)
-            for a in st:
-                a.copy_to_host_async()
             pose = cam_pos() if callable(cam_pos) else cam_pos
             if isinstance(pose, jax.Array):
-                pose.copy_to_host_async()
-            self._prefetch = (st, pose)
+                # device pose rides INSIDE the packed state: one transfer
+                st = _state_pull(self.vol, pose)
+                host_pose = None
+            else:
+                st = _state_pull(self.vol, jnp.zeros((4, 4), jnp.float32))
+                host_pose = pose
+            st.copy_to_host_async()
+            self._prefetch = (st, host_pose)
             self._acc("prefetch_dispatch", t0)
             return False
         if self._since_check < self.check_interval:
             return False
         pf, self._prefetch = self._prefetch, None
         if pf is not None:
-            st, pose = pf
+            st, host_pose = pf
             t0 = time.perf_counter()
-            nb, bc, cks = (np.asarray(a) for a in st)
-            state = (int(nb), bc, cks)
+            nb, dev_pose, cks, bc = _decode_state(
+                np.asarray(st), self.cfg.block_capacity)
             self._acc("state_land", t0)
-            self.tick(pose, _state=state)
+            self.tick(dev_pose if host_pose is None else host_pose,
+                      _state=(nb, bc, cks))
         else:
             pose = cam_pos() if callable(cam_pos) else cam_pos
             self.tick(pose)
@@ -507,8 +550,10 @@ class StreamingTSDF:
         return n, coords, cks, True
 
     def _pull_state(self) -> Tuple[int, np.ndarray, np.ndarray]:
-        nb, bc, cks = jax.device_get(_state_pull(self.vol))
-        return int(nb), np.asarray(bc), np.asarray(cks)
+        buf = np.asarray(_state_pull(self.vol,
+                                     jnp.zeros((4, 4), jnp.float32)))
+        nb, _pose, cks, bc = _decode_state(buf, self.cfg.block_capacity)
+        return nb, bc, cks
 
     def _refresh_frozen(self, n, coords, cks):
         """Invalidate frozen soups whose recorded neighborhood environment
@@ -752,21 +797,40 @@ class StreamingTSDF:
 
         cells_bucket = _bucket(ns * (self.cfg.block_resolution ** 3) // 64,
                                self.max_cells, lo=1024) * 64
-        v, c, nt, ovf, cells = self._run_extract(
-            min(cells_bucket, self.max_cells), self.max_tris,
-            sel=jnp.asarray(sel), nbr_sel=jnp.asarray(nbr_pad),
-            emit_mask=jnp.asarray(emit_c), return_cells=True)
-        # only the CELL ids (12 bytes/triangle) cross to the client — they
-        # key the per-block soup split. The vertex/color payload (72
-        # bytes/triangle, f32: the frozen cache must remain bit-identical
-        # to live extraction, unlike the incremental preview's u8 wire
-        # format) is reordered per-block-contiguous DEVICE-side and DMA'd
-        # to device-host memory; it crosses once, at save time.
-        nt = int(nt)
-        ntb = _bucket(max(nt, 1), self.max_tris, lo=4096)
-        blk = (np.asarray(cells[:, :ntb]).T[:nt]
-               // self.cfg.block_resolution)
-        tkeys = pack_np(blk)
+        # ONE host sync for the whole freeze: extraction meta (overflow +
+        # count) and the per-triangle BLOCK keys land in a single packed
+        # pull (_freeze_meta — 4 B/triangle; the key math runs device-side).
+        # The vertex/color payload (72 bytes/triangle, f32: the frozen
+        # cache must remain bit-identical to live extraction, unlike the
+        # incremental preview's u8 wire format) is reordered per-block-
+        # contiguous DEVICE-side and DMA'd to device-host memory; it
+        # crosses once, at save time. Budget overflow grows persistently
+        # and redoes, like _run_extract; an under-guessed key slice costs
+        # one extra pull (rare — the guess is last freeze's count).
+        mcells_ = min(cells_bucket, self.max_cells)
+        mtris_ = self.max_tris
+        kw = dict(sel=jnp.asarray(sel), nbr_sel=jnp.asarray(nbr_pad),
+                  emit_mask=jnp.asarray(emit_c), return_cells=True)
+        R = jnp.int32(self.cfg.block_resolution)
+        while True:
+            v, c, nt_d, ovf_d, cells = mc.extract_mesh_arrays(
+                self.vol, self.cfg, max_cells=mcells_, max_tris=mtris_,
+                **kw)
+            ntb = _bucket(max(self._freeze_nt, 4096), mtris_)
+            meta = np.asarray(_freeze_meta(cells, nt_d, ovf_d, R, ntb))
+            nt = int(meta[0])
+            if meta[1]:  # budget overflow: grow persistently and redo
+                mcells_ *= 2
+                mtris_ *= 2
+                self.max_cells = max(self.max_cells, mcells_)
+                self.max_tris = max(self.max_tris, mtris_)
+                continue
+            if nt > ntb:
+                ntb = _bucket(nt, mtris_)
+                meta = np.asarray(_freeze_meta(cells, nt_d, ovf_d, R, ntb))
+            break
+        self._freeze_nt = nt
+        tkeys = meta[2:2 + nt]
         empty_v = np.zeros((0, 3, 3), np.float32)
         for s in emit_slots:  # zero-triangle blocks still freeze
             self.soups[int(live_keys[s])] = (empty_v, empty_v)
