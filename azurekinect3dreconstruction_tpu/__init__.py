@@ -27,6 +27,24 @@ import os as _os
 import jax as _jax
 
 
+def _cpu_fingerprint() -> str:
+    """Short stable hash of this host's CPU ISA feature flags (the thing
+    XLA:CPU AOT code is specialized to)."""
+    import hashlib
+    import platform as _platform
+
+    feats = _platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats += " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(feats.encode()).hexdigest()[:12]
+
+
 def _enable_compilation_cache() -> None:
     """Persist compiled executables across processes (verified to work through
     the remote-TPU tunnel: the heavy kernels compile once per machine, not
@@ -43,6 +61,14 @@ def _enable_compilation_cache() -> None:
         root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
         cache = (_os.path.join(root, ".jax_cache") if _os.access(root, _os.W_OK)
                  else _os.path.expanduser("~/.cache/azurekinect3d_jax"))
+        if "cpu" in _os.environ.get("JAX_PLATFORMS", ""):
+            # XLA:CPU persists AOT machine code compiled for THIS host's exact
+            # CPU feature set; loading another host's entries trips
+            # cpu_aot_loader "machine type doesn't match" warnings and risks
+            # SIGILL (observed when the cache dir travels with the repo).
+            # Partition CPU entries per feature fingerprint so a different
+            # host starts a fresh subdir instead of loading foreign code.
+            cache = _os.path.join(cache, "cpu-" + _cpu_fingerprint())
         _os.makedirs(cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", cache)
         # Persist SMALL compiles too. jax's default refuses to cache
