@@ -61,7 +61,9 @@ def _enable_compilation_cache() -> None:
         root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
         cache = (_os.path.join(root, ".jax_cache") if _os.access(root, _os.W_OK)
                  else _os.path.expanduser("~/.cache/azurekinect3d_jax"))
-        if "cpu" in _os.environ.get("JAX_PLATFORMS", ""):
+        plats = (_os.environ.get("JAX_PLATFORMS")
+                 or getattr(_jax.config, "jax_platforms", None) or "")
+        if "cpu" in plats:
             # XLA:CPU persists AOT machine code compiled for THIS host's exact
             # CPU feature set; loading another host's entries trips
             # cpu_aot_loader "machine type doesn't match" warnings and risks

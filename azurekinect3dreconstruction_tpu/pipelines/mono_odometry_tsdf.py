@@ -734,6 +734,49 @@ def decode_raw_frame(depth_raw, color_raw, inv_scale, depth_min, depth_trunc):
 
 
 @functools.lru_cache(maxsize=None)
+def make_raw_batch_fn(intr: Intrinsics, tsdf_cfg, worklist_size: int = 2048,
+                      stride: int = 2, backend: str = "pallas",
+                      interpret: bool = False):
+    """One dispatch per BATCH of raw frames at GIVEN poses: traced decode +
+    allocate + integrate inside a ``lax.scan`` — no odometry. This is the
+    reintegration hot path: the offline bundle's finalize replays every
+    logged frame at its optimized pose (reference
+    bundlefusion_reconstruction.py:285-344 does the same with per-frame
+    Open3D ``volume.integrate`` calls), so per chunk the host pays one raw
+    u16/u8 transfer and one dispatch instead of a decode + eager dispatch
+    per frame.
+
+    batch(vol, depth_raws (F,H,W), color_raws (F,H,W,3), poses (F,4,4),
+          rays, inv_scale, depth_min, depth_trunc) -> vol
+
+    Zero-depth frames integrate nothing (every pixel fails the
+    ``> depth_min`` mask), so short chunks can be padded with zeros.
+    """
+    from azurekinect3dreconstruction_tpu.ops.pallas.tsdf_kernels import (
+        integrate_step,
+    )
+
+    def batch(vol, depth_raws, color_raws, poses, rays, inv_scale,
+              depth_min, depth_trunc):
+        def body(v, fr):
+            dr, cr, T = fr
+            d, c, _ = decode_raw_frame(dr, cr, inv_scale, depth_min,
+                                       depth_trunc)
+            if backend == "pallas":
+                v = integrate_step(v, d, c, T, rays, intr, tsdf_cfg,
+                                   worklist_size, stride, interpret)
+            else:
+                v = tsdf.allocate(v, d, rays, T, tsdf_cfg, stride=stride)
+                v = tsdf.integrate(v, d, c, T, intr, tsdf_cfg)
+            return v, None
+
+        vol, _ = jax.lax.scan(body, vol, (depth_raws, color_raws, poses))
+        return vol
+
+    return jax.jit(batch, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
 def make_raw_slam_step(intr: Intrinsics, cfg: PipelineConfig,
                        worklist_size: int = 2048, stride: int = 2,
                        min_fitness: float = 0.3, backend: str = "pallas",

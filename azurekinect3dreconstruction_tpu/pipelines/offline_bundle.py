@@ -163,18 +163,7 @@ class OfflineBundle:
         stats["optimize_s"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         volume = tsdf.create(self.cfg.tsdf)  # volume.reset() analog
-        src = NpzReplaySource(self.frames_dir)
-        cam = self.cfg.camera
-        for i, (d, c) in enumerate(src):
-            if i >= len(self.graph.nodes):
-                break
-            frame = RGBDFrame.from_raw(d, c, cam.depth_scale, cam.depth_trunc,
-                                       cam.depth_min)
-            volume = tsdf.integrate_frame(
-                volume, frame.depth, frame.color, self.rays,
-                jnp.asarray(self.graph.nodes[i], jnp.float32), self.intr,
-                self.cfg.tsdf, backend=self.backend,
-            )
+        volume = self._reintegrate(volume)
         jax.block_until_ready(volume.tsdf)
         stats["reintegrate_s"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
@@ -189,6 +178,53 @@ class OfflineBundle:
         self.saver.save_trajectory(self.graph.nodes, kind="optimized_trajectory")
         stats["extract_s"] = _time.perf_counter() - _t0
         return mesh
+
+    def _reintegrate(self, volume, chunk: int = 16):
+        """Replay every logged frame into ``volume`` at its optimized pose
+        via the batched raw scan (:func:`make_raw_batch_fn`): decode +
+        allocate + integrate for a whole chunk is ONE dispatch, and the
+        next chunk's raw frames upload while the current one computes.
+        The reference pays a per-frame Open3D integrate here
+        (bundlefusion_reconstruction.py:329-344)."""
+        from azurekinect3dreconstruction_tpu.core.backend import resolve_backend
+        from azurekinect3dreconstruction_tpu.pipelines.mono_odometry_tsdf import (
+            make_raw_batch_fn,
+        )
+
+        src = NpzReplaySource(self.frames_dir)
+        cam = self.cfg.camera
+        n = min(len(src), len(self.graph.nodes))
+        if n == 0:
+            return volume
+        use_pallas, interp = resolve_backend(self.backend)
+        batch_fn = make_raw_batch_fn(
+            self.intr, self.cfg.tsdf,
+            backend="pallas" if use_pallas else "xla", interpret=interp)
+        scalars = (np.float32(1.0 / cam.depth_scale),
+                   np.float32(cam.depth_min), np.float32(cam.depth_trunc))
+
+        frames = src.frames()
+
+        def host_chunk(a):
+            b = min(a + chunk, n)
+            ds, cs = zip(*(next(frames) for _ in range(b - a)))
+            Ts = [np.asarray(self.graph.nodes[i], np.float32)
+                  for i in range(a, b)]
+            pad = chunk - (b - a)
+            if pad:  # zero depth integrates nothing (fails the min mask)
+                ds += tuple(np.zeros_like(ds[0]) for _ in range(pad))
+                cs += tuple(np.zeros_like(cs[0]) for _ in range(pad))
+                Ts += [np.eye(4, dtype=np.float32)] * pad
+            return (np.stack(ds), np.stack(cs),
+                    np.stack(Ts).astype(np.float32))
+
+        staged = jax.device_put(host_chunk(0))
+        for a in range(0, n, chunk):
+            nxt = (jax.device_put(host_chunk(a + chunk))
+                   if a + chunk < n else None)
+            volume = batch_fn(volume, *staged, self.rays, *scalars)
+            staged = nxt
+        return volume
 
     # -- resume from the frame log (checkpoint/resume) ------------------------
     @staticmethod

@@ -65,15 +65,19 @@ the pool, which no streaming scheme can fix without a bigger pool. Since
 eviction runs at tick cadence AND the high-water trigger reads a state
 snapshot up to one interval old (the tick's inputs are prefetched right
 after the previous tick so their host copy hides under a full interval of
-compute), size the headroom accordingly:
-``(1 - high_water) * block_capacity`` must exceed the blocks a burst of
-TWO ``check_interval`` windows can allocate (tens per frame in steady
-scanning; ``allocate``'s dedup_budget caps the absolute worst case).
+compute) AND a slow transfer may defer the tick up to one more interval
+(:meth:`maybe_tick` never blocks on the in-flight state), size the
+headroom accordingly: ``(1 - high_water) * block_capacity`` must exceed
+the blocks a burst of THREE ``check_interval`` windows can allocate (tens
+per frame in steady scanning; ``allocate``'s dedup_budget caps the
+absolute worst case).
 """
 
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FuturesTimeout
 from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
 
@@ -298,10 +302,20 @@ class StreamingTSDF:
                  reload_dist: float, high_water: float = 0.85,
                  check_interval: int = 8,
                  max_cells: int = 65536, max_tris: int = 131072,
-                 vol: Optional[TSDFVolume] = None):
+                 vol: Optional[TSDFVolume] = None, max_defer: int = 0):
         """``vol``: adopt an existing pool instead of allocating one — the
         pipeline wiring passes its own volume so only ONE pool ever exists
-        (a second create would transiently double HBM)."""
+        (a second create would transiently double HBM).
+
+        ``max_defer``: extra frames a tick may wait for its in-flight state
+        transfer instead of blocking on it (0 = always block at the
+        interval, the exact-cadence default). Deferral stretches the
+        camera-movement-per-tick bound by up to ``max_defer/check_interval``
+        intervals, so distances must be sized for it —
+        :meth:`for_pipeline` does (it widens the reload ring to ``2 *
+        margin``); direct constructions that enable it must do the same or
+        late reloads degrade to the weighted merge (float-order deltas vs
+        the infinite-pool reference)."""
         assert evict_dist > reload_dist > 0, (evict_dist, reload_dist)
         self.cfg = cfg
         self.vol = tsdf_volume.create(cfg) if vol is None else vol
@@ -309,6 +323,7 @@ class StreamingTSDF:
         self.reload_dist = float(reload_dist)
         self.high_water = int(high_water * cfg.block_capacity)
         self.check_interval = int(check_interval)
+        self.max_defer = int(max_defer)
         self.max_cells = max_cells
         self.max_tris = max_tris
         # The stores live in the DEVICE'S host memory (pinned_host memory
@@ -328,6 +343,15 @@ class StreamingTSDF:
         self._next_sid = 0
         # (state arrays, pose) dispatched one frame ahead of the next tick
         self._prefetch = None
+        # One worker that LANDS the prefetched state (np.asarray) off the
+        # pipeline thread: through the axon tunnel ``copy_to_host_async``
+        # does not actually move bytes until a host copy is requested, so
+        # an on-thread land pays a full tunnel RTT every tick (measured
+        # ~52 ms/tick in BENCH state_land — the whole streaming-vs-plain
+        # gap). The worker pays that RTT concurrently with the interval's
+        # device compute; the tick then reads a finished numpy array.
+        self._lander = ThreadPoolExecutor(max_workers=1,
+                                          thread_name_prefix="azk3d-land")
         # key -> (exists (8,) bool, cks (8,) i32): the recorded state of the
         # block's +corner NEIGHBORHOOD (code 0 = self) when its soup was
         # cut. A soup stays valid exactly while that environment is
@@ -376,10 +400,13 @@ class StreamingTSDF:
                      check_interval: int = 8, margin: float = 0.5,
                      **kw) -> "StreamingTSDF":
         """Safe distances derived from a ``PipelineConfig``: the reload
-        ring sits ``margin`` meters beyond :meth:`integration_reach` (the
-        camera must not cover more than ``margin`` per check interval),
+        ring sits ``2 * margin`` meters beyond :meth:`integration_reach`
+        (the camera must not cover more than ``margin`` per check
+        interval; the factor 2 covers the one extra interval a tick may
+        DEFER waiting for its state transfer — ``max_defer`` below),
         eviction one more meter out (hysteresis)."""
-        reload_dist = cls.integration_reach(cfg) + margin
+        reload_dist = cls.integration_reach(cfg) + 2.0 * margin
+        kw.setdefault("max_defer", check_interval)
         return cls(cfg.tsdf, evict_dist=reload_dist + 1.0,
                    reload_dist=reload_dist, high_water=high_water,
                    check_interval=check_interval, **kw)
@@ -432,10 +459,20 @@ class StreamingTSDF:
         surface next tick, nothing is lost), the eviction path re-pulls
         fresh before acting (its compaction permutation must match the live
         pool), and :meth:`extract_mesh` does its own fresh pull + refresh,
-        so bit-exactness never rests on tick freshness. Sizing note: the
-        high-water trigger now reads a state up to one interval old, so the
-        pool headroom ``(1 - high_water) * capacity`` should cover TWO
-        intervals' worth of allocation, not one (module docstring)."""
+        so bit-exactness never rests on tick freshness.
+
+        The tick never BLOCKS on that transfer either: through the remote
+        tunnel a pull occupies ~a full RTT of wall time no matter when it
+        was dispatched (measured: the round-4 "land at tick time" design
+        still paid ~50 ms/tick), so if the state has not landed when the
+        interval elapses the tick DEFERS — integration continues, and the
+        tick runs on whichever later frame the worker finishes
+        (``tick_ms["deferred_frames"]`` counts them). A safety valve blocks
+        after one extra interval so the policy cannot lag unboundedly.
+        Sizing note: the high-water trigger reads a state up to one
+        interval old and may defer up to one more, so the pool headroom
+        ``(1 - high_water) * capacity`` should cover THREE intervals'
+        worth of allocation (module docstring)."""
         self._since_check += 1
         if self._since_check == 1 and self.check_interval > 1:
             t0 = time.perf_counter()
@@ -448,17 +485,30 @@ class StreamingTSDF:
                 st = _state_pull(self.vol, jnp.zeros((4, 4), jnp.float32))
                 host_pose = pose
             st.copy_to_host_async()
-            self._prefetch = (st, host_pose)
+            # land (np.asarray) on the worker thread; the tick polls done()
+            self._prefetch = (self._lander.submit(np.asarray, st), host_pose)
             self._acc("prefetch_dispatch", t0)
             return False
         if self._since_check < self.check_interval:
             return False
-        pf, self._prefetch = self._prefetch, None
+        pf = self._prefetch
         if pf is not None:
-            st, host_pose = pf
+            st_f, host_pose = pf
             t0 = time.perf_counter()
+            if self._since_check < self.check_interval + self.max_defer:
+                # 2 ms grace: a landed (or local-backend) pull proceeds now;
+                # a genuinely in-flight tunnel pull defers instead
+                try:
+                    buf = st_f.result(timeout=0.002)
+                except FuturesTimeout:
+                    self.tick_ms["deferred_frames"] = (
+                        self.tick_ms.get("deferred_frames", 0.0) + 1.0)
+                    return False  # state in flight: retry next frame
+            else:
+                buf = st_f.result()  # defer budget spent: block
+            self._prefetch = None
             nb, dev_pose, cks, bc = _decode_state(
-                np.asarray(st), self.cfg.block_capacity)
+                buf, self.cfg.block_capacity)
             self._acc("state_land", t0)
             self.tick(dev_pose if host_pose is None else host_pose,
                       _state=(nb, bc, cks))

@@ -16,6 +16,7 @@ does not pollute per-op numbers.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
+import gc
 import json
 import sys
 import time
@@ -78,7 +79,7 @@ def main():
     wvol = tsdf.create(cfg)
     wvol = batch(wvol, wdepths, wcolors, wposes, rays)
     float(wvol.weight.sum())  # value pull = reliable sync through the tunnel
-    del wvol
+    del wvol, wdepths, wcolors, wposes  # ~1 GB of HBM back
 
     _mark("warmup done; cold pass")
     # ---- cold passes: fresh volume, fresh allocation every frame -----------
@@ -163,6 +164,8 @@ def main():
     e1 = min(ext_run(1) for _ in range(3))
     e6 = min(ext_run(6) for _ in range(2))
     extract_ms = (e6 - e1) / 5 * 1000.0
+    n_tris, ovf = int(n_tris), bool(ovf)
+    del v, c
 
     _mark("slam batch")
     # ---- full SLAM (Pallas odometry + fusion, one scan-batched dispatch) ----
@@ -197,6 +200,8 @@ def main():
     s3 = min(slam_run(3) for _ in range(2))
     slam_dt = (s3 - s1) / (2 * 15)
     slam_fps = 1.0 / slam_dt
+    fits_min = float(jnp.min(fits))
+    del svol, traj, fits
 
     _mark("trajectory accuracy")
     # ---- tracking ACCURACY over the full 64-pose sweep ----------------------
@@ -214,6 +219,7 @@ def main():
     gt = np.stack([gt0 @ np.asarray(T, np.float64) for T in sweep[1:]])
     ate_r = ate(est, gt)
     rpe_r = rpe(est, gt)
+    del _va, _fa, traj_all, intens_all
 
     _mark("sharded slam")
     # ---- sharded SLAM step on a (1x1) mesh (VERDICT r2 weak #1) -------------
@@ -247,6 +253,8 @@ def main():
     sh3 = min(sharded_run(3) for _ in range(2))
     sharded_dt = (sh3 - sh1) / (2 * 15)
     sharded_fps = 1.0 / sharded_dt
+    sfits_min = float(jnp.min(sfits))
+    del svol2, sfits, intens, state
 
     _mark("pipeline fps")
     # ---- end-to-end class pipeline fps (VERDICT r2 weak #2) -----------------
@@ -314,6 +322,8 @@ def main():
     jax.block_until_ready((pipe.volume.tsdf, pipe._T_dev))
     resident_dt = (time.perf_counter() - t0) / len(dev_frames)
     pipeline_fps_resident = 1.0 / resident_dt
+    del pipe, bufs, dbuf, dbufs
+    gc.collect()
 
     _mark("incremental extraction")
     # ---- incremental touched-block extraction (VERDICT r2 weak #6) ----------
@@ -393,6 +403,8 @@ def main():
     t0 = time.perf_counter()
     inc2.update(vol)
     extract_full_refresh_ms = (time.perf_counter() - t0) * 1000.0
+    del inc, incp, inc2, cdep, ccol, cpos, cdep2, ccol2, cpos2
+    gc.collect()
 
     _mark("streaming compaction")
     # host-streaming eviction (tsdf/streaming.py): the device-side cost of
@@ -499,6 +511,8 @@ def main():
     moving_run(growth_check=True)  # warm + verify continuous allocation
     dmv, mv_dt = moving_run()
     dual_pair_fps_moving = n_mpairs / mv_dt
+    del dual, dmv, pair, mv_pairs, moving_run
+    gc.collect()
 
     _mark("recorder")
     # ---- colored-ICP Recorder (VERDICT r3 weak #2) ---------------------------
@@ -545,6 +559,8 @@ def main():
         int_times.append(time.perf_counter() - t0)
     recorder_kf_ms = min(kf_times) * 1000.0
     recorder_int_ms = min(int_times) * 1000.0
+    del rec, rec2, st, kf_step, int_step
+    gc.collect()
 
     _mark("streaming scan (with evictions)")
     # ---- host streaming under real eviction pressure (VERDICT r3 weak #3) ---
@@ -661,6 +677,9 @@ def main():
     streaming_fullres_evictions = int(sfp.streaming.n_evictions)
     assert not bool(np.asarray(sfp.volume.overflow)), \
         "full-res streaming corridor must not overflow"
+    # the streaming managers also hold pinned_host payload/soup stores
+    del sp, pp, sfp, s_frames, sfr_frames, corridor_run, corridor_full_run
+    gc.collect()
 
     _mark("relocalization")
     # ---- tracking-loss recovery latency (VERDICT r3 weak #4) ----------------
@@ -683,6 +702,8 @@ def main():
     reloc_err_mm = (float(np.linalg.norm(
         np.asarray(T_rec)[:3, 3] - np.asarray(sweep[8])[:3, 3])) * 1000.0
         if T_rec is not None else -1.0)
+    del vol, depths, colors, posearr  # the 16384-block pool + f32 renders
+    gc.collect()
 
     _mark("frame-to-model")
     # ---- device-resident frame_to_model (VERDICT r3 weak #5) ----------------
@@ -713,6 +734,8 @@ def main():
     f2m_fps = len(dev_frames) / min(f2m_times)
     _ = pipe_m.trajectory  # flush the gate flags into the counters
     f2m_refines_ok = int(pipe_m.telemetry._counters.get("model_icp_ok", 0))
+    del pipe_m, dev_frames
+    gc.collect()
 
     _mark("offline bundle finalize")
     # ---- offline bundle: optimize + reintegrate (VERDICT r4 weak #8) --------
@@ -735,15 +758,23 @@ def main():
         ob.telemetry.sink = lambda s: None
         for d, c in host_frames:
             ob.process_frame(d, c)
-        # warm the reintegration executable (unfused integrate_frame at this
-        # shape) outside the timed finalize — compile is setup, not finalize
-        from azurekinect3dreconstruction_tpu.core.types import RGBDFrame
+        # warm the reintegration executable (the chunked raw batch scan at
+        # this shape) outside the timed finalize — compile is setup, not
+        # finalize (finalize reuses the lru-cached jit for identical args)
+        from azurekinect3dreconstruction_tpu.pipelines.mono_odometry_tsdf import (
+            make_raw_batch_fn,
+        )
 
-        wf = RGBDFrame.from_raw(*host_frames[0], pcfg.camera.depth_scale,
-                                pcfg.camera.depth_trunc, pcfg.camera.depth_min)
-        jax.block_until_ready(tsdf.integrate_frame(
-            tsdf.create(cfg), wf.depth, wf.color, rays,
-            jnp.eye(4, dtype=jnp.float32), intr, cfg).tsdf)
+        wbf = make_raw_batch_fn(intr, cfg, backend="pallas")
+        wd = jnp.stack([jnp.asarray(host_frames[0][0])] * 16)
+        wc = jnp.stack([jnp.asarray(host_frames[0][1])] * 16)
+        wT = jnp.stack([jnp.eye(4, dtype=jnp.float32)] * 16)
+        jax.block_until_ready(wbf(
+            tsdf.create(cfg), wd, wc, wT, rays,
+            np.float32(1.0 / pcfg.camera.depth_scale),
+            np.float32(pcfg.camera.depth_min),
+            np.float32(pcfg.camera.depth_trunc)).tsdf)
+        del wbf, wd, wc, wT
         ob.finalize(extract=False)
         fstats = ob.last_finalize_stats
         offline_reintegrate_fps = (fstats["n_frames"]
@@ -874,12 +905,12 @@ def main():
         "extract_full_refresh_ms": round(extract_full_refresh_ms, 2),
         "incremental_touched_blocks": int(np.median(inc_touched)),
         "evict_compact_ms": round(evict_compact_ms, 2),
-        "min_sharded_fitness": round(float(jnp.min(sfits)), 3),
+        "min_sharded_fitness": round(sfits_min, 3),
         "mesh_triangles": int(n_tris),
         "extract_overflow": bool(ovf),
         "n_blocks": n_blocks,
         "volume_checksum": checksum,
-        "min_odometry_fitness": round(float(jnp.min(fits)), 3),
+        "min_odometry_fitness": round(fits_min, 3),
         "device": str(jax.devices()[0]),
     }))
 
