@@ -303,6 +303,52 @@ def test_offline_bundle_loop_and_reintegrate(cam, tmp_path):
     assert resumed.n_frames == len(poses)
 
 
+def test_raw_batch_reintegration_matches_per_frame(cam):
+    """The offline finalize's chunked raw-batch scan (make_raw_batch_fn)
+    must reproduce the per-frame decode+integrate it replaced, and
+    zero-depth PAD frames must integrate nothing (the last chunk of a log
+    is padded with them)."""
+    import jax.numpy as jnp
+
+    from azurekinect3dreconstruction_tpu.core.camera import pixel_rays
+    from azurekinect3dreconstruction_tpu.core.types import RGBDFrame
+    from azurekinect3dreconstruction_tpu.pipelines.mono_odometry_tsdf import (
+        make_raw_batch_fn,
+    )
+    from azurekinect3dreconstruction_tpu.tsdf import volume as tsdf
+
+    cfg = SMALL_CFG.tsdf
+    camcfg = SMALL_CFG.camera
+    rays = pixel_rays(cam.intrinsics)
+    poses = orbit_trajectory(5, radius=0.25, angle_span=0.5)
+    frames = [cam.capture(T) for T in poses]
+
+    ref = tsdf.create(cfg)
+    for (d, c), T in zip(frames, poses):
+        f = RGBDFrame.from_raw(d, c, camcfg.depth_scale, camcfg.depth_trunc,
+                               camcfg.depth_min)
+        ref = tsdf.integrate_frame(ref, f.depth, f.color, rays,
+                                   jnp.asarray(T, jnp.float32),
+                                   cam.intrinsics, cfg, backend="xla")
+
+    batch = make_raw_batch_fn(cam.intrinsics, cfg, backend="xla")
+    pad = 3
+    ds = np.stack([f[0] for f in frames]
+                  + [np.zeros_like(frames[0][0])] * pad)
+    cs = np.stack([f[1] for f in frames]
+                  + [np.zeros_like(frames[0][1])] * pad)
+    Ts = np.stack([np.asarray(T, np.float32) for T in poses]
+                  + [np.eye(4, dtype=np.float32)] * pad)
+    got = batch(tsdf.create(cfg), ds, cs, Ts, rays,
+                np.float32(1.0 / camcfg.depth_scale),
+                np.float32(camcfg.depth_min), np.float32(camcfg.depth_trunc))
+    assert int(got.n_blocks) == int(ref.n_blocks)
+    np.testing.assert_array_equal(np.asarray(got.weight),
+                                  np.asarray(ref.weight))
+    np.testing.assert_allclose(np.asarray(got.tsdf), np.asarray(ref.tsdf),
+                               rtol=0, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_fragment_pipeline(cam):
     from azurekinect3dreconstruction_tpu.pipelines import FragmentPipeline
