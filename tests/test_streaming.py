@@ -355,6 +355,74 @@ def test_compact_preserves_volume_semantics(corridor):
     assert np.all(w3[~in_kept] == 0.0)
 
 
+def test_tick_defers_while_state_in_flight(corridor):
+    """With max_defer > 0 the interval tick must NOT block on an unfinished
+    state transfer: it keeps returning False (counting deferred_frames)
+    until the worker's future resolves, then runs exactly one tick and
+    restarts the interval cycle. Models the remote tunnel, where a pull
+    occupies a full RTT no matter how early it was dispatched."""
+    from concurrent.futures import Future
+
+    intr, rays, frame = corridor
+    sv = StreamingTSDF(SMALL, evict_dist=1.6, reload_dist=1.3,
+                       high_water=0.95, check_interval=3,
+                       max_cells=1 << 14, max_tris=1 << 16, max_defer=8)
+
+    class SlowLander:
+        def submit(self, fn, st):
+            self.fut = Future()
+            self.land = lambda: fn(st)  # the real np.asarray, run on demand
+            return self.fut
+
+    lander = SlowLander()
+    sv._lander = lander
+    ticks = {"n": 0}
+    orig = sv.tick
+    sv.tick = lambda *a, **kw: (ticks.__setitem__("n", ticks["n"] + 1),
+                                orig(*a, **kw))[1]
+
+    pose = np.eye(4)
+    assert sv.maybe_tick(pose) is False  # frame 1: prefetch staged
+    assert sv._prefetch is not None
+    assert sv.maybe_tick(pose) is False  # frame 2
+    assert sv.maybe_tick(pose) is False  # frame 3 = interval: defers
+    assert sv.maybe_tick(pose) is False  # frame 4: still in flight
+    assert sv.tick_ms.get("deferred_frames") == 2.0
+    assert ticks["n"] == 0 and sv._prefetch is not None
+    lander.fut.set_result(lander.land())  # transfer lands
+    assert sv.maybe_tick(pose) is True   # frame 5: tick runs on landing
+    assert ticks["n"] == 1 and sv._since_check == 0 and sv._prefetch is None
+    # the cycle restarts: next frame stages a fresh prefetch
+    assert sv.maybe_tick(pose) is False
+    assert sv._prefetch is not None
+
+
+def test_tick_blocks_when_defer_budget_spent(corridor):
+    """The safety valve: once max_defer extra frames have passed, the tick
+    blocks on the future rather than let the policy lag unboundedly."""
+    import threading
+    from concurrent.futures import Future
+
+    intr, rays, frame = corridor
+    sv = StreamingTSDF(SMALL, evict_dist=1.6, reload_dist=1.3,
+                       high_water=0.95, check_interval=2,
+                       max_cells=1 << 14, max_tris=1 << 16, max_defer=2)
+
+    class SlowLander:
+        def submit(self, fn, st):
+            self.fut = Future()
+            threading.Timer(0.3, lambda: self.fut.set_result(fn(st))).start()
+            return self.fut
+
+    sv._lander = SlowLander()
+    pose = np.eye(4)
+    assert sv.maybe_tick(pose) is False  # frame 1: prefetch (0.05 s away)
+    assert sv.maybe_tick(pose) is False  # frame 2 = interval: defers
+    assert sv.maybe_tick(pose) is False  # frame 3: defer budget ends
+    assert sv.maybe_tick(pose) is True   # frame 4: valve blocks, tick runs
+    assert sv.n_ticks == 1 and sv._since_check == 0
+
+
 def test_direct_tick_orphans_pending_prefetch(corridor):
     """A tick issued between maybe_tick's prefetch frame and its tick frame
     (e.g. an explicit policy run from a script) must invalidate the pending
